@@ -1,0 +1,70 @@
+package nelspark
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * spark-submit / sbt-run entry point. Modes:
+ *   exprdemo <outDir>  — exercise the custom expression surface end-to-end
+ *                        and write a parquet sample for oracle cross-checks.
+ *   pipeline <workDir> — run the full ER pipeline on a generated corpus
+ *                        (added in the pipeline milestone).
+ */
+object Main {
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("nelspark")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "exprdemo" :: outDir :: Nil => exprDemo(session(), outDir)
+    case other => sys.error(s"unknown mode: $other (expected: exprdemo <outDir>)")
+  }
+
+  private def exprDemo(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import nelspark.functions._
+    functions.registerAll(spark)
+
+    val names = Seq("MARTHA", "MARHTA", "DIXON", "DICKSONX", "José Álvarez",
+      "jose alvarez", "J. Q. Smith", "John Quincy Smith", "O'Brien", "OBrien")
+    val pairs = names.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val df = pairs.toDF("a", "b").select(
+      $"a", $"b",
+      jaro_winkler($"a", $"b").as("jw"),
+      levenshtein_ratio($"a", $"b").as("lev_ratio"),
+      normalize_name($"a").as("a_norm"),
+      normalize_name($"b").as("b_norm"))
+    df.write.mode("overwrite").parquet(s"$outDir/jw_sample")
+
+    val html = Seq(
+      ("u1", "<html><head><title>T</title></head><body><p>Alpha &amp; Beta</p></body></html>"),
+      ("u2", "<script>no</script><div>the Big Apple shines</div>"))
+      .toDF("url", "h")
+      .select($"url", extract_text(encode($"h", "UTF-8")).as("text"))
+    val mentions = html.select($"url", $"text",
+      explode(extract_mentions($"text")).as("m"))
+      .select($"url", $"m.begin", $"m.end", $"m.name",
+        normalize_name($"m.name").as("name_norm"))
+    mentions.write.mode("overwrite").parquet(s"$outDir/mention_sample")
+
+    val lsh = Seq("jonathan smithers", "jonathan smither", "totally different")
+      .toDF("s")
+      .select($"s", minhash_bands(
+        minhash_signature(char_ngrams($"s", 3), 12, 42L), 4).as("bands"))
+    lsh.write.mode("overwrite").parquet(s"$outDir/lsh_sample")
+
+    df.show(5, truncate = false)
+    mentions.show(truncate = false)
+    println(s"[exprdemo] wrote samples to $outDir")
+    spark.stop()
+  }
+}

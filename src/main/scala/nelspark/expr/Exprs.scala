@@ -1,0 +1,213 @@
+package nelspark.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions (SURVEY.md §2.11): the five operators the
+ * reference needs that Spark lacks, plus dedup/fingerprint helpers for the
+ * training-data pipeline. All are deterministic, null-intolerant, and
+ * generate code that calls the static [[Kernels]] — so they stay inside
+ * whole-stage codegen (no CodegenFallback in the hot path).
+ */
+object ExprHelpers {
+  // eval/codegen shared bridges (called from generated Java)
+  def jw(a: UTF8String, b: UTF8String): Double =
+    Kernels.jaroWinkler(a.toString, b.toString)
+  def levRatio(a: UTF8String, b: UTF8String): Double =
+    Kernels.levenshteinRatio(a.toString, b.toString)
+  def norm(a: UTF8String): UTF8String =
+    UTF8String.fromString(Kernels.normalizeName(a.toString))
+  def extract(a: Array[Byte]): UTF8String =
+    UTF8String.fromString(Kernels.extractText(a))
+  def ngrams(a: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(Kernels.charNGrams(a.toString, n).map(UTF8String.fromString(_)))
+  def minhash(terms: ArrayData, k: Int, seed: Long): ArrayData = {
+    val arr = new Array[String](terms.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = terms.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(Kernels.minHashSignature(arr, k, seed))
+  }
+  def bands(sig: ArrayData, nBands: Int): ArrayData =
+    new GenericArrayData(Kernels.minHashBands(sig.toLongArray(), nBands))
+  def simhash(terms: ArrayData): Long = {
+    val arr = new Array[String](terms.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = terms.getUTF8String(i).toString; i += 1 }
+    Kernels.simHash64(arr)
+  }
+  def fingerprint(text: UTF8String, w: Int): Long =
+    Kernels.docFingerprint(Kernels.tokens(text.toString), w)
+  def cosF(a: ArrayData, b: ArrayData): Double =
+    Kernels.cosineFloat(a.toFloatArray(), b.toFloatArray())
+  def mentions(text: UTF8String): ArrayData = {
+    val spans = Kernels.extractMentions(text.toString)
+    val rows: Array[Any] = spans.map { sp =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        sp.begin, sp.end, UTF8String.fromString(sp.name)): Any
+    }
+    new GenericArrayData(rows)
+  }
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** Jaro-Winkler similarity (SURVEY.md §2.7 F4). DuckDB-pinned semantics. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.jw(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"nelspark.expr.ExprHelpers.jw($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
+/** Levenshtein ratio 1 - dist/maxlen (F3 variant used by the scorer). */
+case class LevenshteinRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.levRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"nelspark.expr.ExprHelpers.levRatio($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "levenshtein_ratio"
+}
+
+/** Name-normalization blocking key (P4). */
+case class NormalizeName(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.norm(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.norm($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "normalize_name"
+}
+
+/** Deterministic HTML → text extraction (P1; byte-identical invariant). */
+case class ExtractText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.extract(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.extract($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "extract_text"
+}
+
+/** Distinct character n-grams (P7); n is a literal. */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.ngrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.ngrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_ngrams"
+}
+
+/** k-permutation MinHash signature over array<string> (F8/B2). */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.minhash(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.minhash($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** LSH band keys from a MinHash signature (B2). */
+case class MinHashBands(child: Expression, nBands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.bands(v.asInstanceOf[ArrayData], nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.bands($c, $nBands)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_bands"
+}
+
+/** 64-bit SimHash of a term array (near-dup dedup). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Rolling-hash document fingerprint over tokens, window w. */
+case class DocFingerprint(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.fingerprint(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.fingerprint($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+/** Dense cosine similarity over array<float> (embedding ANN path). */
+case class CosineSimFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.cosF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"nelspark.expr.ExprHelpers.cosF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim_float"
+}
+
+/** Capitalized-span mention extraction (P2+P3): array<struct<begin,end,name>>. */
+case class ExtractMentions(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("begin", IntegerType, nullable = false),
+      StructField("end", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.mentions(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.mentions($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "extract_mentions"
+}
+
+/** Hamming distance between two 64-bit fingerprints (SimHash dedup). */
+case class HammingDist64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}

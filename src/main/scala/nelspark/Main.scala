@@ -25,7 +25,28 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "exprdemo" :: outDir :: Nil => exprDemo(session(), outDir)
-    case other => sys.error(s"unknown mode: $other (expected: exprdemo <outDir>)")
+    case "pipeline" :: rest =>
+      val nPages = rest.headOption.map(_.toLong).getOrElse(5000L)
+      val nEntities = if (rest.length > 1) rest(1).toLong else nPages / 5
+      runPipeline(session(), nPages, nEntities)
+    case other => sys.error(s"unknown mode: $other (expected: exprdemo <outDir> | pipeline [nPages nEntities])")
+  }
+
+  private def runPipeline(spark: SparkSession, nPages: Long, nEntities: Long): Unit = {
+    import nelspark.gen.CorpusGen
+    import nelspark.pipeline._
+    val t0 = System.nanoTime()
+    val gen = CorpusGen.generate(spark, nPages, nEntities).cache()
+    val pages = CorpusGen.pages(gen)
+    val gold = CorpusGen.gold(gen)
+    val res = Pipeline.run(spark, pages, gold)
+    res.metrics.show(truncate = false)
+    res.f1.show(truncate = false)
+    val nClusters = res.assignments.select("cluster_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[pipeline] pages=$nPages entities=$nEntities clusters=$nClusters " +
+      f"wall=${secs}%.1fs docs/sec=${nPages / secs}%.0f")
+    spark.stop()
   }
 
   private def exprDemo(spark: SparkSession, outDir: String): Unit = {

@@ -1,0 +1,341 @@
+package nelspark.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import nelspark.functions._
+
+/**
+ * End-to-end record-linkage pipeline configuration (BASELINE.json
+ * north_rule): extraction → mention detection → multi-pass blocking
+ * (normalized name + char-n-gram MinHash/LSH) → pairwise scoring
+ * (Jaro-Winkler / Levenshtein + TF-IDF cosine) → transitive clustering.
+ *
+ * Reference flow: nel's batch-link pipeline (nel/harness.py +
+ * nel/process/, reference absent at survey time — SURVEY.md §0).
+ */
+case class ErConfig(
+    ngramN: Int = 3,
+    minhashK: Int = 12,
+    bands: Int = 4,
+    seed: Long = 42L,
+    /** Blocks up to this size generate the full pair clique (quadratic). */
+    cliqueMax: Int = 200,
+    /** Oversized blocks (≤ chainMax) fall back to windowed chain pairs
+      * over context-LSH sub-blocks — linear in block size; transitive
+      * closure recovers the clique. Beyond chainMax a block is purged
+      * (degenerate stop-name semantics; SparkER block purging, EDBT 2019). */
+    chainMax: Int = 200000,
+    chainWindow: Int = 3,
+    /** Per-page context MinHash components used to sub-block mega blocks. */
+    ctxK: Int = 4,
+    wJw: Double = 0.45,
+    wLev: Double = 0.15,
+    wCtx: Double = 0.40,
+    tau: Double = 0.72,
+    maxIter: Int = 25)
+
+/** P1: deterministic text extraction over the pages table. */
+object Extract {
+  /** Recompute `text` from `html` with the pinned extractor (byte-identical
+    * invariant: equals the corpus' `text` column; asserted in tests). */
+  def apply(pages: DataFrame): DataFrame =
+    pages.select(col("url"), col("warc_ts"), col("lang"),
+      extract_text(col("html")).as("text"))
+}
+
+/** P2–P4: mention detection + normalization. One row per mention.
+  * `ctx_sig` = per-page context MinHash components (used to sub-block
+  * oversized blocks; 1-row "bands" so same-entity pages collide with
+  * probability ≈ their token Jaccard per component). */
+object Mentions {
+  def apply(extracted: DataFrame, cfg: ErConfig = ErConfig()): DataFrame =
+    extracted
+      .filter(col("lang") === "en") // P6 predicate filter, pushed to scan
+      .select(col("url"),
+        minhash_signature(array_distinct(split(lower(col("text")), "\\s+")),
+          cfg.ctxK, cfg.seed + 99).as("ctx_sig"),
+        posexplode(extract_mentions(col("text"))).as(Seq("pos", "m")))
+      .select(
+        // Deterministic 64-bit mention id (url × begin); at true 10^12 scale
+        // widen to a 128-bit pair — collision odds are noted in SURVEY §7.6.
+        xxhash64(col("url"), col("m.begin")).as("mention_id"),
+        col("url"), col("m.begin").as("begin"), col("m.end").as("end"),
+        col("m.name").as("name"),
+        normalize_name(col("m.name")).as("name_norm"),
+        col("ctx_sig"))
+      .filter(length(col("name_norm")) >= 2)
+}
+
+/** B1+B2: multi-pass blocking. Pass 1 = exact normalized-name key;
+  * pass 2 = char-n-gram MinHash LSH band keys. */
+object Block {
+  /** (mention_id, block_key, pass) — both passes unioned. */
+  def keys(mentions: DataFrame, cfg: ErConfig): DataFrame = {
+    val name = mentions.select(col("mention_id"),
+      concat(lit("n:"), col("name_norm")).as("block_key"), lit("name").as("pass"))
+    val lsh = mentions
+      .select(col("mention_id"), posexplode(
+        minhash_bands(
+          minhash_signature(char_ngrams(col("name_norm"), cfg.ngramN),
+            cfg.minhashK, cfg.seed),
+          cfg.bands)).as(Seq("band", "bh")))
+      .select(col("mention_id"),
+        concat(lit("l:"), col("band"), lit(":"), col("bh")).as("block_key"),
+        lit("lsh").as("pass"))
+    name.unionByName(lsh)
+  }
+
+  /**
+   * Candidate pairs (a_id < b_id), deduped across passes (SET2). Skew
+   * handling is explicit and three-tiered (SURVEY.md §7.6.1):
+   *
+   *  - sz ≤ cliqueMax          → full clique via self equi-join (quadratic
+   *                              but bounded: ≤ cliqueMax² pairs per key);
+   *  - cliqueMax < sz ≤ chainMax → windowed chain pairs inside context-LSH
+   *                              sub-blocks: each mention joins its next
+   *                              `chainWindow` neighbors ordered by id
+   *                              within (block_key, ctx-minhash component).
+   *                              Linear in block size; connected components
+   *                              recovers the full cluster from the chain.
+   *                              This is what keeps Zipfian head names
+   *                              (hot entities) recallable WITHOUT an O(n²)
+   *                              blow-up at 10^12 rows;
+   *  - sz > chainMax           → purged (degenerate stop-name block; the
+   *                              SparkER block-purging bound, EDBT 2019).
+   *
+   * AQE skew-join splitting remains on as backstop. Returns (pairs, metrics).
+   */
+  def pairs(keys: DataFrame, mentions: DataFrame, cfg: ErConfig): (DataFrame, DataFrame) = {
+    val sizes = keys.groupBy("block_key").agg(count("*").as("sz"))
+    val k2 = keys.join(sizes, Seq("block_key"))
+
+    // tier 1: bounded cliques
+    val small = k2.filter(col("sz") <= cfg.cliqueMax)
+    val a = small.select(col("block_key"), col("mention_id").as("a_id"))
+    val b = small.select(col("block_key"), col("mention_id").as("b_id"))
+    val clique = a.join(b, Seq("block_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+
+    // tier 2: chained mega-blocks, sub-blocked by context minhash component
+    val mega = k2
+      .filter(col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax)
+      .select("block_key", "mention_id")
+      .join(mentions.select("mention_id", "ctx_sig"), Seq("mention_id"))
+      .select(col("block_key"), col("mention_id"),
+        posexplode(col("ctx_sig")).as(Seq("bi", "bv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block_key", "bi", "bv").orderBy("mention_id")
+    val rn = mega.withColumn("rn", row_number().over(w))
+    val rnA = rn.select(col("block_key"), col("bi"), col("bv"),
+      col("mention_id").as("a_id"), col("rn").as("ra"))
+    val rnB = rn.select(col("block_key"), col("bi"), col("bv"),
+      col("mention_id").as("b_id"), col("rn").as("rb"))
+    val chains = rnA.join(rnB, Seq("block_key", "bi", "bv"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + cfg.chainWindow)
+      .select("a_id", "b_id") // ordered by mention_id ⇒ a_id < b_id
+
+    val p = clique.unionByName(chains)
+      .dropDuplicates("a_id", "b_id") // dedupe BEFORE scoring (SET2 barrier)
+
+    val metrics = sizes.agg(
+      count("*").as("n_blocks"),
+      sum(when(col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax, 1L)
+        .otherwise(0L)).as("n_chained"),
+      sum(when(col("sz") > cfg.chainMax, 1L).otherwise(0L)).as("n_purged"),
+      max("sz").as("max_block"))
+    (p, metrics)
+  }
+}
+
+/** A3–A4 + J3: page-level TF-IDF vectors for context cosine. */
+object Tfidf {
+  /** (url, term, w) with per-url L2-normalized weights. */
+  def pageVectors(extracted: DataFrame): DataFrame = {
+    val terms = extracted
+      .select(col("url"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("url", "term").agg(count("*").cast("double").as("tf"))
+    val nDocs = extracted.select(approx_count_distinct("url")).head().getLong(0)
+    val dfT = terms.groupBy("term").agg(count("*").as("df")) // 1 row per (url,term)
+    val weighted = terms.join(dfT, "term")
+      .withColumn("w", col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0))
+    val norms = weighted.groupBy("url").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    weighted.join(norms, "url")
+      .select(col("url"), col("term"), (col("w") / col("nrm")).as("w"))
+  }
+}
+
+/** F3/F4/F12: batched pairwise scoring. */
+object Score {
+  /**
+   * (a_id, b_id, jw, lev_ratio, ctx_cos, score). Name features come from
+   * an equi-join of pairs to the mention table (twice); context cosine is
+   * a sparse dot product computed once per distinct URL pair (join+agg
+   * form, J3) and reused by every mention pair on those pages.
+   */
+  def apply(pairs: DataFrame, mentions: DataFrame, pageVecs: DataFrame,
+      cfg: ErConfig): DataFrame = {
+    val m = mentions.select("mention_id", "name_norm", "url")
+    val withNames = pairs
+      .join(m.withColumnsRenamed(Map("mention_id" -> "a_id",
+        "name_norm" -> "a_norm", "url" -> "a_url")), Seq("a_id"))
+      .join(m.withColumnsRenamed(Map("mention_id" -> "b_id",
+        "name_norm" -> "b_norm", "url" -> "b_url")), Seq("b_id"))
+    val urlPairs = withNames.select("a_url", "b_url").dropDuplicates()
+    val cos = urlPairs
+      .join(pageVecs.withColumnsRenamed(Map("url" -> "a_url", "w" -> "wa")), Seq("a_url"))
+      .join(pageVecs.withColumnsRenamed(Map("url" -> "b_url", "w" -> "wb")), Seq("b_url", "term"))
+      .groupBy("a_url", "b_url").agg(sum(col("wa") * col("wb")).as("ctx_cos"))
+    withNames
+      .join(cos, Seq("a_url", "b_url"), "left")
+      .na.fill(0.0, Seq("ctx_cos"))
+      .select(col("a_id"), col("b_id"),
+        jaro_winkler(col("a_norm"), col("b_norm")).as("jw"),
+        levenshtein_ratio(col("a_norm"), col("b_norm")).as("lev_ratio"),
+        col("ctx_cos"))
+      .withColumn("score",
+        lit(cfg.wJw) * col("jw") + lit(cfg.wLev) * col("lev_ratio") +
+          lit(cfg.wCtx) * col("ctx_cos"))
+  }
+
+  /** Edges above the match threshold τ. */
+  def edges(scored: DataFrame, cfg: ErConfig): DataFrame =
+    scored.filter(col("score") >= cfg.tau).select("a_id", "b_id")
+}
+
+/**
+ * G1: transitive closure via alternating large-star / small-star
+ * connected components on DataFrames (Kiveris et al., "Connected
+ * Components in MapReduce and Beyond", SoCC 2014). O(log n) rounds;
+ * per-round localCheckpoint truncates lineage. No GraphFrames / no RDDs.
+ */
+object Cluster {
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(e.select(col("b_id").as("u"), col("a_id").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a_id"), least(col("mn"), col("u")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("a_id"), col("b_id")).as("u"),
+      least(col("a_id"), col("b_id")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("mn"))
+    val part1 = oriented.join(mins, "u")
+      .filter(col("v") =!= col("mn"))
+      .select(col("v").as("a_id"), col("mn").as("b_id"))
+    val part2 = mins.select(col("u").as("a_id"), col("mn").as("b_id"))
+    part1.unionAll(part2)
+      .filter(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  private def checksum(e: DataFrame): (Long, Long) = {
+    // bit_xor: order-independent, overflow-free (ANSI-safe) edge-set hash
+    val r = e.agg(count("*"), expr("bit_xor(xxhash64(a_id, b_id))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /**
+   * @param edges    (a_id, b_id) undirected match edges
+   * @param allIds   one-column DF of every node id (singletons included)
+   * @return         (mention_id, cluster_id) with cluster_id = min member id
+   */
+  def connectedComponents(edges: DataFrame, allIds: DataFrame,
+      cfg: ErConfig): DataFrame = {
+    var e = edges.select("a_id", "b_id").localCheckpoint(true)
+    var prev = (-1L, 0L)
+    var it = 0
+    var converged = false
+    while (it < cfg.maxIter && !converged) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    val idCol = allIds.columns.head
+    val assign = e.select(col("a_id").as("mention_id"), col("b_id").as("cluster_id"))
+      .unionAll(e.select(col("b_id").as("mention_id"), col("b_id").as("cluster_id")))
+      .groupBy("mention_id").agg(min("cluster_id").as("cluster_id"))
+    allIds.select(col(idCol).as("mention_id"))
+      .join(assign, Seq("mention_id"), "left")
+      .select(col("mention_id"),
+        coalesce(col("cluster_id"), col("mention_id")).as("cluster_id"))
+  }
+}
+
+/** J4 + A6: pairwise evaluation against gold labels at the shared blocking key. */
+object Evaluate {
+
+  /** Gold-labeled mentions: detected mentions that exactly match the
+    * generated surface on their page. (mention_id, entity_id, name_norm) */
+  def labeledMentions(mentions: DataFrame, gold: DataFrame): DataFrame =
+    mentions.join(gold.withColumnRenamed("surface", "name"), Seq("url", "name"))
+      .select("mention_id", "entity_id", "name_norm")
+
+  /** labeled_pairs fixture (FIXTURES.md §2): pairs sharing the
+    * normalized-name blocking key; is_match = same entity. */
+  def labeledPairs(labeled: DataFrame): DataFrame = {
+    val a = labeled.withColumnsRenamed(Map(
+      "mention_id" -> "a_id", "entity_id" -> "a_ent"))
+    val b = labeled.withColumnsRenamed(Map(
+      "mention_id" -> "b_id", "entity_id" -> "b_ent"))
+    a.join(b, Seq("name_norm"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("name_norm").as("block_key"),
+        (col("a_ent") === col("b_ent")).as("is_match"))
+  }
+
+  /** Pairwise P/R/F1 of predicted co-clustering vs labeled pairs (1 row). */
+  def pairwiseF1(labeledPairs: DataFrame, assignments: DataFrame): DataFrame = {
+    val ca = assignments.withColumnsRenamed(Map(
+      "mention_id" -> "a_id", "cluster_id" -> "a_cl"))
+    val cb = assignments.withColumnsRenamed(Map(
+      "mention_id" -> "b_id", "cluster_id" -> "b_cl"))
+    labeledPairs
+      .join(ca, Seq("a_id")).join(cb, Seq("b_id"))
+      .withColumn("pred", col("a_cl") === col("b_cl"))
+      .agg(
+        sum(when(col("is_match") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_match") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_match") && !col("pred"), 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        (col("tp") / greatest(col("tp") + col("fp"), lit(1L))).as("precision"),
+        (col("tp") / greatest(col("tp") + col("fn"), lit(1L))).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+  }
+}
+
+/** Orchestration: the full DAG in one call (checkpoint-aware variant in
+  * [[nelspark.store.SnapshotStore]] milestone). */
+object Pipeline {
+  case class Result(mentions: DataFrame, assignments: DataFrame,
+      metrics: DataFrame, f1: DataFrame)
+
+  def run(spark: SparkSession, pages: DataFrame, gold: DataFrame,
+      cfg: ErConfig = ErConfig()): Result = {
+    val extracted = Extract(pages)
+    val mentions = Mentions(extracted, cfg).cache()
+    val keys = Block.keys(mentions, cfg)
+    val (pairs, blockMetrics) = Block.pairs(keys, mentions, cfg)
+    val vecs = Tfidf.pageVectors(extracted)
+    val scored = Score(pairs, mentions, vecs, cfg)
+    val edges = Score.edges(scored, cfg)
+    val assign = Cluster.connectedComponents(
+      edges, mentions.select("mention_id"), cfg).cache()
+    val labeled = Evaluate.labeledMentions(mentions, gold)
+    val f1 = Evaluate.pairwiseF1(Evaluate.labeledPairs(labeled), assign)
+    Result(mentions, assign, blockMetrics, f1)
+  }
+}

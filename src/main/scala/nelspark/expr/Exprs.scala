@@ -198,6 +198,22 @@ case class ExtractMentions(child: Expression) extends UnaryExpression {
   override def prettyName: String = "extract_mentions"
 }
 
+/** Character-set Jaccard (DuckDB `jaccard()` semantics). */
+case class CharSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.charSetJaccard(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"nelspark.expr.Kernels.charSetJaccard($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "char_jaccard"
+}
+
 /** Hamming distance between two 64-bit fingerprints (SimHash dedup). */
 case class HammingDist64(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -346,6 +346,20 @@ object Kernels {
     min
   }
 
+  /** Character-set Jaccard similarity, pinned to DuckDB `jaccard()`:
+    * |chars(a) ∩ chars(b)| / |chars(a) ∪ chars(b)| (multiset-insensitive). */
+  def charSetJaccard(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    val sa = new java.util.HashSet[Char]()
+    val sb = new java.util.HashSet[Char]()
+    a.foreach(sa.add); b.foreach(sb.add)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   // -------------------------------------------------------- dense vectors
 
   /** Cosine similarity of two equal-length float vectors; 0.0 if either
@@ -358,7 +372,9 @@ object Kernels {
       dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    // dot/(sqrt·sqrt) — matches DuckDB list_cosine_similarity on DOUBLE[]
+    // bit-for-bit (sequential double accumulation, separate sqrts)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   // ------------------------------------------------------ mention spans

@@ -50,6 +50,9 @@ object functions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = c(HammingDist64(e(a), e(b)))
 
+  /** Character-set Jaccard (DuckDB `jaccard()` semantics). */
+  def char_jaccard(a: Column, b: Column): Column = c(CharSetJaccard(e(a), e(b)))
+
   /** Register all custom expressions as SQL functions on this session. */
   def registerAll(spark: SparkSession): Unit = {
     NelShim.registerFunction(spark, "jaro_winkler", xs => JaroWinkler(xs(0), xs(1)))

@@ -29,7 +29,63 @@ object Main {
       val nPages = rest.headOption.map(_.toLong).getOrElse(5000L)
       val nEntities = if (rest.length > 1) rest(1).toLong else nPages / 5
       runPipeline(session(), nPages, nEntities)
-    case other => sys.error(s"unknown mode: $other (expected: exprdemo <outDir> | pipeline [nPages nEntities])")
+    case "bench" :: nPagesS :: coresS :: outPath :: Nil =>
+      scalingBench(nPagesS.toLong, coresS, outPath)
+    case other => sys.error(s"unknown mode: $other (expected: exprdemo <outDir> | pipeline [nPages nEntities] | bench <nPages> <cores> <outJson>)")
+  }
+
+  /**
+   * One scaling-bench level (BASELINE.md protocol): generates/reuses a
+   * fixed parquet fixture, precomputes extraction+mentions+tfidf into
+   * parquet ("extraction cached"), then times blocking+scoring+clustering
+   * end-to-end at local[cores]. Appends one JSON line to outPath. Run in
+   * a fresh JVM per level (JIT fairness): see BASELINE.md.
+   */
+  private def scalingBench(nPages: Long, cores: String, outPath: String): Unit = {
+    import nelspark.gen.CorpusGen
+    import nelspark.pipeline._
+    import org.apache.spark.sql.functions.col
+    val spark = session(cores)
+    val cfg = ErConfig()
+    val fixDir = s"target/fixtures/bench_$nPages"
+    CorpusGen.ensureFixture(spark, fixDir, nPages, nPages / 5)
+    val pages = spark.read.parquet(s"$fixDir/pages.parquet")
+
+    // pre-stage (excluded from timing, shared by both levels)
+    val preDir = s"$fixDir/pre"
+    if (!new java.io.File(s"$preDir/_DONE").exists()) {
+      val extracted = Extract(pages)
+      Mentions(extracted, cfg).write.mode("overwrite").parquet(s"$preDir/mentions.parquet")
+      Tfidf.pageVectors(extracted, cfg.ctxTopK).write.mode("overwrite").parquet(s"$preDir/vecs.parquet")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$preDir/_DONE"), "ok")
+    }
+    val mentions = spark.read.parquet(s"$preDir/mentions.parquet")
+    val vecs = spark.read.parquet(s"$preDir/vecs.parquet")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val t0 = System.nanoTime()
+    val keys = Block.keys(mentions, cfg)
+    val (pairs, _) = Block.pairs(keys, mentions, cfg)
+    val (nPairs, tBlock) = timed { pairs.cache().count() }
+    val edges = Score.edges(Score(pairs, mentions, vecs, cfg), cfg)
+    val (nEdges, tScore) = timed { edges.cache().count() }
+    val (nClusters, tCc) = timed {
+      Cluster.connectedComponents(edges, mentions.select("mention_id"), cfg)
+        .select("cluster_id").distinct().count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val json = f"""{"bench":"er_scaling","cores":$cores,"pages":$nPages,""" +
+      f""""pairs":$nPairs,"edges":$nEdges,"clusters":$nClusters,""" +
+      f""""block_s":$tBlock%.2f,"score_s":$tScore%.2f,"cc_s":$tCc%.2f,""" +
+      f""""wall_s":$wall%.2f,"docs_per_sec":${nPages / wall}%.1f}"""
+    println(json)
+    val p = java.nio.file.Paths.get(outPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
   }
 
   private def runPipeline(spark: SparkSession, nPages: Long, nEntities: Long): Unit = {

@@ -53,6 +53,9 @@ object functions {
   /** Character-set Jaccard (DuckDB `jaccard()` semantics). */
   def char_jaccard(a: Column, b: Column): Column = c(CharSetJaccard(e(a), e(b)))
 
+  /** Merge-scan sparse dot over h-sorted array<struct<h,w>> vectors. */
+  def sparse_dot(a: Column, b: Column): Column = c(SparseDotSorted(e(a), e(b)))
+
   /** Register all custom expressions as SQL functions on this session. */
   def registerAll(spark: SparkSession): Unit = {
     NelShim.registerFunction(spark, "jaro_winkler", xs => JaroWinkler(xs(0), xs(1)))

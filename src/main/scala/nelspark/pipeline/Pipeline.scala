@@ -28,6 +28,8 @@ case class ErConfig(
     chainWindow: Int = 3,
     /** Per-page context MinHash components used to sub-block mega blocks. */
     ctxK: Int = 4,
+    /** Per-page TF-IDF vector length cap (top-K heaviest terms). */
+    ctxTopK: Int = 64,
     wJw: Double = 0.45,
     wLev: Double = 0.15,
     wCtx: Double = 0.40,
@@ -117,9 +119,15 @@ object Block {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
 
-    // tier 2: chained mega-blocks, sub-blocked by context minhash component
+    // tier 2: chained mega-blocks, sub-blocked by context minhash component.
+    // Name-pass only: a mega LSH block's members are (a) hot exact names —
+    // already chained via their mega name block — or (b) stop-name n-gram
+    // collisions (noise); generating chains for them re-shuffles the same
+    // membership ~bands× times for zero recall. LSH keeps catching typo
+    // variants through its SMALL blocks (tier 1), which is its entire job.
     val mega = k2
-      .filter(col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax)
+      .filter(col("pass") === "name" &&
+        col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax)
       .select("block_key", "mention_id")
       .join(mentions.select("mention_id", "ctx_sig"), Seq("mention_id"))
       .select(col("block_key"), col("mention_id"),
@@ -138,20 +146,30 @@ object Block {
     val p = clique.unionByName(chains)
       .dropDuplicates("a_id", "b_id") // dedupe BEFORE scoring (SET2 barrier)
 
-    val metrics = sizes.agg(
-      count("*").as("n_blocks"),
-      sum(when(col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax, 1L)
-        .otherwise(0L)).as("n_chained"),
-      sum(when(col("sz") > cfg.chainMax, 1L).otherwise(0L)).as("n_purged"),
-      max("sz").as("max_block"))
+    val metrics = keys.select("block_key", "pass").distinct()
+      .join(sizes, Seq("block_key")).agg(
+        count("*").as("n_blocks"),
+        sum(when(col("pass") === "name" &&
+          col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax, 1L)
+          .otherwise(0L)).as("n_chained"),
+        sum(when(col("sz") > cfg.chainMax ||
+          (col("pass") === "lsh" && col("sz") > cfg.cliqueMax), 1L)
+          .otherwise(0L)).as("n_purged"),
+        max("sz").as("max_block"))
     (p, metrics)
   }
 }
 
-/** A3–A4 + J3: page-level TF-IDF vectors for context cosine. */
+/** A3–A4 + J3: page-level TF-IDF vectors for context cosine.
+  * Vectors are PACKED per page as h-sorted array<struct<h,w>> so the
+  * pair cosine is a single merge-scan expression (no term-level shuffle
+  * per pair — the explode/join/re-agg plan shuffled O(pairs × terms)
+  * rows and dominated the bench at 50k pages). */
 object Tfidf {
-  /** (url, term, w) with per-url L2-normalized weights. */
-  def pageVectors(extracted: DataFrame): DataFrame = {
+  /** (url, vec: array<struct<h:long, w:double>>), h-sorted, L2-normalized,
+    * pruned to the topK heaviest terms per page (web pages have thousands
+    * of distinct terms at 10^12 scale; pruning bounds vector length). */
+  def pageVectors(extracted: DataFrame, topK: Int = 128): DataFrame = {
     val terms = extracted
       .select(col("url"), explode(split(lower(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
@@ -160,9 +178,18 @@ object Tfidf {
     val dfT = terms.groupBy("term").agg(count("*").as("df")) // 1 row per (url,term)
     val weighted = terms.join(dfT, "term")
       .withColumn("w", col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0))
-    val norms = weighted.groupBy("url").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    weighted.join(norms, "url")
-      .select(col("url"), col("term"), (col("w") / col("nrm")).as("w"))
+    val topped = weighted
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("url").orderBy(desc("w"), asc("term"))))
+      .filter(col("rk") <= topK)
+    // pack: re-normalize over kept terms, sort by term hash for merge scan
+    topped
+      .groupBy("url")
+      .agg(collect_list(struct(xxhash64(col("term")).as("h"), col("w"))).as("hw"))
+      .select(col("url"), sort_array(col("hw")).as("hw"))
+      .select(col("url"), expr(
+        "transform(hw, x -> struct(x.h as h, x.w / sqrt(aggregate(hw, 0d, (acc, y) -> acc + y.w * y.w)) as w))")
+        .as("vec"))
   }
 }
 
@@ -182,18 +209,24 @@ object Score {
         "name_norm" -> "a_norm", "url" -> "a_url")), Seq("a_id"))
       .join(m.withColumnsRenamed(Map("mention_id" -> "b_id",
         "name_norm" -> "b_norm", "url" -> "b_url")), Seq("b_id"))
+      .withColumn("jw", jaro_winkler(col("a_norm"), col("b_norm")))
+      .withColumn("lev_ratio", levenshtein_ratio(col("a_norm"), col("b_norm")))
+      // cascade: a pair whose best-possible score (ctx_cos = 1) cannot
+      // reach τ will never become an edge — drop it BEFORE the expensive
+      // context join. Name features are cheap codegen'd scalar exprs;
+      // the context cosine requires shuffling vector payloads.
+      .filter(lit(cfg.wJw) * col("jw") + lit(cfg.wLev) * col("lev_ratio")
+        + lit(cfg.wCtx) >= cfg.tau)
     val urlPairs = withNames.select("a_url", "b_url").dropDuplicates()
     val cos = urlPairs
-      .join(pageVecs.withColumnsRenamed(Map("url" -> "a_url", "w" -> "wa")), Seq("a_url"))
-      .join(pageVecs.withColumnsRenamed(Map("url" -> "b_url", "w" -> "wb")), Seq("b_url", "term"))
-      .groupBy("a_url", "b_url").agg(sum(col("wa") * col("wb")).as("ctx_cos"))
+      .join(pageVecs.withColumnsRenamed(Map("url" -> "a_url", "vec" -> "va")), Seq("a_url"))
+      .join(pageVecs.withColumnsRenamed(Map("url" -> "b_url", "vec" -> "vb")), Seq("b_url"))
+      .select(col("a_url"), col("b_url"),
+        nelspark.functions.sparse_dot(col("va"), col("vb")).as("ctx_cos"))
     withNames
       .join(cos, Seq("a_url", "b_url"), "left")
       .na.fill(0.0, Seq("ctx_cos"))
-      .select(col("a_id"), col("b_id"),
-        jaro_winkler(col("a_norm"), col("b_norm")).as("jw"),
-        levenshtein_ratio(col("a_norm"), col("b_norm")).as("lev_ratio"),
-        col("ctx_cos"))
+      .select(col("a_id"), col("b_id"), col("jw"), col("lev_ratio"), col("ctx_cos"))
       .withColumn("score",
         lit(cfg.wJw) * col("jw") + lit(cfg.wLev) * col("lev_ratio") +
           lit(cfg.wCtx) * col("ctx_cos"))
@@ -329,7 +362,7 @@ object Pipeline {
     val mentions = Mentions(extracted, cfg).cache()
     val keys = Block.keys(mentions, cfg)
     val (pairs, blockMetrics) = Block.pairs(keys, mentions, cfg)
-    val vecs = Tfidf.pageVectors(extracted)
+    val vecs = Tfidf.pageVectors(extracted, cfg.ctxTopK)
     val scored = Score(pairs, mentions, vecs, cfg)
     val edges = Score.edges(scored, cfg)
     val assign = Cluster.connectedComponents(

@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC + pre-touched heap: avoids runtime page-fault
+  // storms (virtualized memory) that showed up as 80%+ sys CPU in bench
+  "-XX:+UseParallelGC",
+  "-XX:+AlwaysPreTouch",
 )

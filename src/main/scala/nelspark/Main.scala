@@ -16,8 +16,23 @@ object Main {
       .appName("nelspark")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("NELSPARK_AQE_COALESCE", "true"))
+      // keep post-shuffle parallelism ≥ cores: without this, AQE coalesces
+      // shuffles to 64MB chunks and a local[32] run executes ~5-wide
+      // (measured: 4-5 busy threads of 32)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // input splits: small dense parquet (≈30MB for 500k mentions) must
+      // still fan out across cores
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files on tmpfs: local[N] shuffles are RAM-speed, so the
+      // two-level scaling bench measures compute, not /tmp disk bandwidth
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/nelspark-local" else "/tmp")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -56,6 +56,10 @@ object functions {
   /** Merge-scan sparse dot over h-sorted array<struct<h,w>> vectors. */
   def sparse_dot(a: Column, b: Column): Column = c(SparseDotSorted(e(a), e(b)))
 
+  /** Merge-scan sparse dot over parallel primitive (hash, weight) arrays. */
+  def sparse_dot_arrays(ha: Column, wa: Column, hb: Column, wb: Column): Column =
+    c(SparseDotArrays(e(ha), e(wa), e(hb), e(wb)))
+
   /** Register all custom expressions as SQL functions on this session. */
   def registerAll(spark: SparkSession): Unit = {
     NelShim.registerFunction(spark, "jaro_winkler", xs => JaroWinkler(xs(0), xs(1)))

@@ -29,7 +29,7 @@ case class ErConfig(
     /** Per-page context MinHash components used to sub-block mega blocks. */
     ctxK: Int = 4,
     /** Per-page TF-IDF vector length cap (top-K heaviest terms). */
-    ctxTopK: Int = 64,
+    ctxTopK: Int = 32,
     wJw: Double = 0.45,
     wLev: Double = 0.15,
     wCtx: Double = 0.40,
@@ -71,17 +71,20 @@ object Mentions {
 /** B1+B2: multi-pass blocking. Pass 1 = exact normalized-name key;
   * pass 2 = char-n-gram MinHash LSH band keys. */
 object Block {
-  /** (mention_id, block_key, pass) — both passes unioned. */
+  /** (mention_id, name_norm, url, block_key, pass) — both passes unioned.
+    * Mention attributes ride along so pair generation emits fully-attributed
+    * pairs and the scorer needs NO join back to the mention table (two
+    * fewer 10^?-row shuffles at any scale; no broadcast assumption). */
   def keys(mentions: DataFrame, cfg: ErConfig): DataFrame = {
-    val name = mentions.select(col("mention_id"),
+    val name = mentions.select(col("mention_id"), col("name_norm"), col("url"),
       concat(lit("n:"), col("name_norm")).as("block_key"), lit("name").as("pass"))
     val lsh = mentions
-      .select(col("mention_id"), posexplode(
+      .select(col("mention_id"), col("name_norm"), col("url"), posexplode(
         minhash_bands(
           minhash_signature(char_ngrams(col("name_norm"), cfg.ngramN),
             cfg.minhashK, cfg.seed),
           cfg.bands)).as(Seq("band", "bh")))
-      .select(col("mention_id"),
+      .select(col("mention_id"), col("name_norm"), col("url"),
         concat(lit("l:"), col("band"), lit(":"), col("bh")).as("block_key"),
         lit("lsh").as("pass"))
     name.unionByName(lsh)
@@ -113,11 +116,13 @@ object Block {
 
     // tier 1: bounded cliques
     val small = k2.filter(col("sz") <= cfg.cliqueMax)
-    val a = small.select(col("block_key"), col("mention_id").as("a_id"))
-    val b = small.select(col("block_key"), col("mention_id").as("b_id"))
+    val a = small.select(col("block_key"), col("mention_id").as("a_id"),
+      col("name_norm").as("a_norm"), col("url").as("a_url"))
+    val b = small.select(col("block_key"), col("mention_id").as("b_id"),
+      col("name_norm").as("b_norm"), col("url").as("b_url"))
     val clique = a.join(b, Seq("block_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+      .select("a_id", "b_id", "a_norm", "b_norm", "a_url", "b_url")
 
     // tier 2: chained mega-blocks, sub-blocked by context minhash component.
     // Name-pass only: a mega LSH block's members are (a) hot exact names —
@@ -128,20 +133,23 @@ object Block {
     val mega = k2
       .filter(col("pass") === "name" &&
         col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax)
-      .select("block_key", "mention_id")
+      .select("block_key", "mention_id", "name_norm", "url")
       .join(mentions.select("mention_id", "ctx_sig"), Seq("mention_id"))
-      .select(col("block_key"), col("mention_id"),
+      .select(col("block_key"), col("mention_id"), col("name_norm"), col("url"),
         posexplode(col("ctx_sig")).as(Seq("bi", "bv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("block_key", "bi", "bv").orderBy("mention_id")
     val rn = mega.withColumn("rn", row_number().over(w))
     val rnA = rn.select(col("block_key"), col("bi"), col("bv"),
-      col("mention_id").as("a_id"), col("rn").as("ra"))
+      col("mention_id").as("a_id"), col("name_norm").as("a_norm"),
+      col("url").as("a_url"), col("rn").as("ra"))
     val rnB = rn.select(col("block_key"), col("bi"), col("bv"),
-      col("mention_id").as("b_id"), col("rn").as("rb"))
+      col("mention_id").as("b_id"), col("name_norm").as("b_norm"),
+      col("url").as("b_url"), col("rn").as("rb"))
     val chains = rnA.join(rnB, Seq("block_key", "bi", "bv"))
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + cfg.chainWindow)
-      .select("a_id", "b_id") // ordered by mention_id ⇒ a_id < b_id
+      .select("a_id", "b_id", "a_norm", "b_norm", "a_url", "b_url")
+      // ordered by mention_id ⇒ a_id < b_id
 
     val p = clique.unionByName(chains)
       .dropDuplicates("a_id", "b_id") // dedupe BEFORE scoring (SET2 barrier)
@@ -166,10 +174,12 @@ object Block {
   * per pair — the explode/join/re-agg plan shuffled O(pairs × terms)
   * rows and dominated the bench at 50k pages). */
 object Tfidf {
-  /** (url, vec: array<struct<h:long, w:double>>), h-sorted, L2-normalized,
-    * pruned to the topK heaviest terms per page (web pages have thousands
-    * of distinct terms at 10^12 scale; pruning bounds vector length). */
-  def pageVectors(extracted: DataFrame, topK: Int = 128): DataFrame = {
+  /** (url, hs: array<long> sorted asc, ws: array<float>) — parallel
+    * primitive arrays (compact UnsafeArrayData through shuffles),
+    * L2-normalized, pruned to the topK heaviest terms per page (web pages
+    * have thousands of distinct terms at 10^12 scale; pruning bounds both
+    * vector length and pair-scoring payload). */
+  def pageVectors(extracted: DataFrame, topK: Int = 32): DataFrame = {
     val terms = extracted
       .select(col("url"), explode(split(lower(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
@@ -187,9 +197,10 @@ object Tfidf {
       .groupBy("url")
       .agg(collect_list(struct(xxhash64(col("term")).as("h"), col("w"))).as("hw"))
       .select(col("url"), sort_array(col("hw")).as("hw"))
-      .select(col("url"), expr(
-        "transform(hw, x -> struct(x.h as h, x.w / sqrt(aggregate(hw, 0d, (acc, y) -> acc + y.w * y.w)) as w))")
-        .as("vec"))
+      .withColumn("nrm", sqrt(expr("aggregate(hw, 0d, (acc, y) -> acc + y.w * y.w)")))
+      .select(col("url"),
+        expr("transform(hw, x -> x.h)").as("hs"),
+        expr("transform(hw, x -> cast(x.w / nrm as float))").as("ws"))
   }
 }
 
@@ -203,30 +214,27 @@ object Score {
    */
   def apply(pairs: DataFrame, mentions: DataFrame, pageVecs: DataFrame,
       cfg: ErConfig): DataFrame = {
-    val m = mentions.select("mention_id", "name_norm", "url")
-    val withNames = pairs
-      .join(m.withColumnsRenamed(Map("mention_id" -> "a_id",
-        "name_norm" -> "a_norm", "url" -> "a_url")), Seq("a_id"))
-      .join(m.withColumnsRenamed(Map("mention_id" -> "b_id",
-        "name_norm" -> "b_norm", "url" -> "b_url")), Seq("b_id"))
+    // pairs arrive fully attributed from Block.pairs (a/b norm + url) —
+    // no join back to the mention table at any scale.
+    val named = pairs
       .withColumn("jw", jaro_winkler(col("a_norm"), col("b_norm")))
       .withColumn("lev_ratio", levenshtein_ratio(col("a_norm"), col("b_norm")))
       // cascade: a pair whose best-possible score (ctx_cos = 1) cannot
       // reach τ will never become an edge — drop it BEFORE the expensive
-      // context join. Name features are cheap codegen'd scalar exprs;
+      // context joins. Name features are cheap codegen'd scalar exprs;
       // the context cosine requires shuffling vector payloads.
       .filter(lit(cfg.wJw) * col("jw") + lit(cfg.wLev) * col("lev_ratio")
         + lit(cfg.wCtx) >= cfg.tau)
-    val urlPairs = withNames.select("a_url", "b_url").dropDuplicates()
-    val cos = urlPairs
-      .join(pageVecs.withColumnsRenamed(Map("url" -> "a_url", "vec" -> "va")), Seq("a_url"))
-      .join(pageVecs.withColumnsRenamed(Map("url" -> "b_url", "vec" -> "vb")), Seq("b_url"))
-      .select(col("a_url"), col("b_url"),
-        nelspark.functions.sparse_dot(col("va"), col("vb")).as("ctx_cos"))
-    withNames
-      .join(cos, Seq("a_url", "b_url"), "left")
-      .na.fill(0.0, Seq("ctx_cos"))
-      .select(col("a_id"), col("b_id"), col("jw"), col("lev_ratio"), col("ctx_cos"))
+    // two vec joins by url; the sparse_dot projection drops the vector
+    // payloads immediately so only narrow rows continue downstream
+    named
+      .join(pageVecs.withColumnsRenamed(
+        Map("url" -> "a_url", "hs" -> "a_hs", "ws" -> "a_ws")), Seq("a_url"))
+      .join(pageVecs.withColumnsRenamed(
+        Map("url" -> "b_url", "hs" -> "b_hs", "ws" -> "b_ws")), Seq("b_url"))
+      .select(col("a_id"), col("b_id"), col("jw"), col("lev_ratio"),
+        nelspark.functions.sparse_dot_arrays(col("a_hs"), col("a_ws"),
+          col("b_hs"), col("b_ws")).as("ctx_cos"))
       .withColumn("score",
         lit(cfg.wJw) * col("jw") + lit(cfg.wLev) * col("lev_ratio") +
           lit(cfg.wCtx) * col("ctx_cos"))

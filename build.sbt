@@ -32,4 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storms (virtualized memory) that showed up as 80%+ sys CPU in bench
   "-XX:+UseParallelGC",
   "-XX:+AlwaysPreTouch",
+  "-Xlog:gc:file=/tmp/gc-%p.log",
 )

@@ -77,23 +77,19 @@ object Main {
     val mentions = spark.read.parquet(s"$preDir/mentions.parquet")
     val vecs = spark.read.parquet(s"$preDir/vecs.parquet")
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-    }
+    // FUSED timed section: blocking → scoring → clustering as one linear
+    // DAG with no mid-pipeline cache/count barriers (each barrier both
+    // serializes the run and double-buffers 16M-row intermediates).
+    // This is the plan shape a production run uses.
     val t0 = System.nanoTime()
     val keys = Block.keys(mentions, cfg)
     val (pairs, _) = Block.pairs(keys, mentions, cfg)
-    val (nPairs, tBlock) = timed { pairs.cache().count() }
     val edges = Score.edges(Score(pairs, mentions, vecs, cfg), cfg)
-    val (nEdges, tScore) = timed { edges.cache().count() }
-    val (nClusters, tCc) = timed {
-      Cluster.connectedComponents(edges, mentions.select("mention_id"), cfg)
-        .select("cluster_id").distinct().count()
-    }
+    val assign = Cluster.connectedComponents(edges, mentions.select("mention_id"), cfg)
+    val nClusters = assign.select("cluster_id").distinct().count()
     val wall = (System.nanoTime() - t0) / 1e9
     val json = f"""{"bench":"er_scaling","cores":$cores,"pages":$nPages,""" +
-      f""""pairs":$nPairs,"edges":$nEdges,"clusters":$nClusters,""" +
-      f""""block_s":$tBlock%.2f,"score_s":$tScore%.2f,"cc_s":$tCc%.2f,""" +
+      f""""clusters":$nClusters,""" +
       f""""wall_s":$wall%.2f,"docs_per_sec":${nPages / wall}%.1f}"""
     println(json)
     val p = java.nio.file.Paths.get(outPath)

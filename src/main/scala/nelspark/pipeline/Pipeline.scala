@@ -146,8 +146,13 @@ object Block {
     val rnB = rn.select(col("block_key"), col("bi"), col("bv"),
       col("mention_id").as("b_id"), col("name_norm").as("b_norm"),
       col("url").as("b_url"), col("rn").as("rb"))
+    // window pairs (local robustness) ∪ anchor/hub pairs (first W rows
+    // pair with every member → component diameter ≈ 2, so connected
+    // components converges in O(1) rounds instead of O(log blockSize) —
+    // the CC round count was the serial floor of the scaling bench)
     val chains = rnA.join(rnB, Seq("block_key", "bi", "bv"))
-      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + cfg.chainWindow)
+      .filter(col("rb") > col("ra") &&
+        (col("rb") <= col("ra") + cfg.chainWindow || col("ra") <= cfg.chainWindow))
       .select("a_id", "b_id", "a_norm", "b_norm", "a_url", "b_url")
       // ordered by mention_id ⇒ a_id < b_id
 

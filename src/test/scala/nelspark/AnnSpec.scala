@@ -1,0 +1,38 @@
+package nelspark
+
+import nelspark.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** ANN: exact baseline vs LSH-bucketed scale path over the driver's
+  * embeddings testdata (64-dim float vectors). */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  test("brute-force top-k: k rows per query, sims sorted, self excluded") {
+    val got = Ann.bruteForceTopK(queries, emb, 5).cache()
+    assert(got.count() == 20L * 5)
+    assert(got.filter(col("q_id") === col("n_id")).count() == 0)
+    val bad = got.groupBy("q_id")
+      .agg((count(lit(1)) =!= 5).as("badn")).filter(col("badn")).count()
+    assert(bad == 0)
+  }
+
+  test("LSH top-k reaches >=60% recall@5 vs exact while scanning fewer candidates") {
+    val exact = Ann.bruteForceTopK(queries, emb, 5)
+    val approx = Ann.lshTopK(queries, emb, 5, dim = 64, tables = 12, bits = 8)
+    val recall = Ann.recallAtK(exact, approx)
+    info(s"lsh recall@5 = $recall")
+    assert(recall >= 0.6, s"recall too low: $recall")
+  }
+
+  test("LSH bucketing is deterministic across partitionings") {
+    val a = Ann.lshTopK(queries.repartition(2), emb.repartition(3), 3, 64)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Ann.lshTopK(queries.repartition(7), emb.repartition(1), 3, 64)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}

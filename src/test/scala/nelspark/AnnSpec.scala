@@ -20,12 +20,16 @@ class AnnSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("LSH top-k reaches >=60% recall@5 vs exact while scanning fewer candidates") {
+  test("LSH top-k reaches >=70% recall@5 vs exact") {
+    // testdata embeddings are RANDOM vectors: top-5 neighbors sit at
+    // cosine ~0.3, so per-bit sign agreement is only ~0.6 — the right
+    // operating point is few bits x many tables. (Real embedding spaces
+    // have NN cosine 0.7+, where bits=10 x 8 tables is the sweet spot.)
     val exact = Ann.bruteForceTopK(queries, emb, 5)
-    val approx = Ann.lshTopK(queries, emb, 5, dim = 64, tables = 12, bits = 8)
+    val approx = Ann.lshTopK(queries, emb, 5, dim = 64, tables = 16, bits = 4)
     val recall = Ann.recallAtK(exact, approx)
     info(s"lsh recall@5 = $recall")
-    assert(recall >= 0.6, s"recall too low: $recall")
+    assert(recall >= 0.7, s"recall too low: $recall")
   }
 
   test("LSH bucketing is deterministic across partitionings") {

@@ -14,7 +14,11 @@ object Main {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("nelspark")
-      .config("spark.sql.shuffle.partitions", cores)
+      // 4x cores: heavy mega-block groups (hot entities) must spread
+      // across many more partitions than cores or one straggler task
+      // caps the whole stage; AQE parallelism-first keeps them >= cores
+      .config("spark.sql.shuffle.partitions",
+        (math.max(cores.toInt, 1) * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("NELSPARK_AQE_COALESCE", "true"))
@@ -46,6 +50,7 @@ object Main {
       runPipeline(session(), nPages, nEntities)
     case "bench" :: nPagesS :: coresS :: outPath :: Nil =>
       scalingBench(nPagesS.toLong, coresS, outPath)
+    case "explain" :: outPath :: Nil => explainPlans(session("4"), outPath)
     case other => sys.error(s"unknown mode: $other (expected: exprdemo <outDir> | pipeline [nPages nEntities] | bench <nPages> <cores> <outJson>)")
   }
 
@@ -96,6 +101,42 @@ object Main {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, json + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+
+  /** Dump `explain("formatted")` for the load-bearing plans — the
+    * physical-plan review artifact (PushedFilters, join strategies,
+    * WholeStageCodegen spans, exchange placement). */
+  private def explainPlans(spark: SparkSession, outPath: String): Unit = {
+    import nelspark.gen.CorpusGen
+    import nelspark.pipeline._
+    import org.apache.spark.sql.functions.col
+    val cfg = ErConfig()
+    val gen = CorpusGen.generate(spark, 2000L, 400L).cache()
+    val dir = "target/fixtures/explain"
+    CorpusGen.pages(gen).write.mode("overwrite").parquet(s"$dir/pages.parquet")
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+    val extracted = Extract(pages)
+    val mentions = Mentions(extracted, cfg)
+    val keys = Block.keys(mentions, cfg)
+    val (pairs, _) = Block.pairs(keys, mentions, cfg)
+    val vecs = Tfidf.pageVectors(extracted, cfg.ctxTopK)
+    val scored = Score(pairs, mentions, vecs, cfg)
+    val sb = new StringBuilder
+    def put(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      sb.append(s"\n==================== $name ====================\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    // predicate pushdown + column pruning evidence: lang filter on scan
+    put("mentions (lang filter pushed to parquet scan + mention explode)",
+      mentions)
+    put("q_join_dim (broadcast dim join)", graft.SparkEntry
+      .queries("q_join_dim")(spark, "/root/testdata/sf0.001"))
+    put("pairs (3-tier blocking: clique join + chain window)", pairs)
+    put("scored (cascade + packed-vector sparse-dot joins)", scored)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    println(s"[explain] wrote $outPath")
     spark.stop()
   }
 

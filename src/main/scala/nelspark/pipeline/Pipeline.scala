@@ -148,12 +148,29 @@ object Block {
       col("url").as("b_url"), col("rn").as("rb"))
     // window pairs (local robustness) ∪ anchor/hub pairs (first W rows
     // pair with every member → component diameter ≈ 2, so connected
-    // components converges in O(1) rounds instead of O(log blockSize) —
-    // the CC round count was the serial floor of the scaling bench)
-    val chains = rnA.join(rnB, Seq("block_key", "bi", "bv"))
-      .filter(col("rb") > col("ra") &&
-        (col("rb") <= col("ra") + cfg.chainWindow || col("ra") <= cfg.chainWindow))
+    // components converges in O(1) rounds instead of O(log blockSize)).
+    // CRITICAL plan shape: the rank predicate must be part of the
+    // equi-join key. A join on (block_key,bi,bv) alone followed by a
+    // rank-range filter makes SMJ emit the FULL n² cross product of each
+    // sub-block before filtering — a hidden quadratic that dominated the
+    // bench (hot sub-blocks of 4.5k rows → 20M-row join groups). Explode
+    // the W target ranks on the build side and join on (…, rn) exactly:
+    // every join group has size 1 and the stage is linear in block size.
+    val windowPairs = rnA
+      .select(col("block_key"), col("bi"), col("bv"), col("a_id"),
+        col("a_norm"), col("a_url"),
+        explode(sequence(col("ra") + 1, col("ra") + cfg.chainWindow)).as("rb"))
+      .join(rnB, Seq("block_key", "bi", "bv", "rb"))
+    val anchorPairs = rnB
+      .filter(col("rb") > cfg.chainWindow + 1) // rb ≤ W+1 covered by window
+      .select(col("block_key"), col("bi"), col("bv"), col("b_id"),
+        col("b_norm"), col("b_url"),
+        explode(sequence(lit(1), lit(cfg.chainWindow))).as("ra"))
+      .join(rnA, Seq("block_key", "bi", "bv", "ra"))
+    val chains = windowPairs
       .select("a_id", "b_id", "a_norm", "b_norm", "a_url", "b_url")
+      .unionByName(anchorPairs
+        .select("a_id", "b_id", "a_norm", "b_norm", "a_url", "b_url"))
       // ordered by mention_id ⇒ a_id < b_id
 
     val p = clique.unionByName(chains)

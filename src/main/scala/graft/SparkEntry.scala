@@ -357,6 +357,80 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // P4: NormalizeName custom expr, oracle-checked (ASCII input — both
+    // engines agree on lower/strip/collapse semantics)
+    "q_normalize" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), normalize_name(col("p_name")).as("name_norm"))
+        .orderBy("p_partkey")
+    }),
+
+    // Dedup 4: embedding-cosine near-dup pairs — EXACT all-pairs form as
+    // the oracle-checked correctness baseline (bounded table); the scale
+    // path is the LSH-bucketed variant below (q_ann_lsh / nelspark.ann.Ann)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine_sim(col("a_emb"), col("b_emb")), 6).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ANN scale path: sign-LSH bucketed top-k with exact re-rank of
+    // candidates only (linear in corpus size; rows-only — approximate by
+    // design, recall vs brute force gated in AnnSpec)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      nelspark.ann.Ann.lshTopK(q, e, k = 5, dim = 64, tables = 16, bits = 4)
+        .withColumn("rn", col("rn").cast("long"))
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q_id", "rn")
+    }),
+
+    // P2-P4: mention detection + normalization over documents (custom
+    // detector — rows-only). The synthetic docs are all-lowercase, so a
+    // fixed word set is deterministically proper-cased first to give the
+    // capitalized-span detector real entity-like surfaces.
+    "q_mentions" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ctext", concat_ws(" ",
+          transform(split(col("text"), "\\s+"), w =>
+            when(w.isin("spark", "customer", "table", "window", "query"),
+              concat(upper(substring(w, 1, 1)), substring(w, 2, 1000)))
+              .otherwise(w))))
+        .select(col("doc_id"), posexplode(extract_mentions(col("ctext")))
+          .as(Seq("pos", "m")))
+        .select(col("doc_id"), col("m.begin").as("begin"),
+          col("m.end").as("end"), col("m.name").as("name"),
+          normalize_name(col("m.name")).as("name_norm"))
+        .filter(length(col("name_norm")) >= 2)
+        .orderBy("doc_id", "begin")
+    }),
+
+    // J2: within-doc coref chaining (local union-find in flatMapGroups —
+    // rows-only; chain-size histogram keeps the output canonical)
+    "q_coref_chains" -> ((s, dir) => {
+      val m = t(s, dir, "documents")
+        .withColumn("ctext", concat_ws(" ",
+          transform(split(col("text"), "\\s+"), w =>
+            when(w.isin("spark", "customer", "table", "window", "query"),
+              concat(upper(substring(w, 1, 1)), substring(w, 2, 1000)))
+              .otherwise(w))))
+        .select(col("doc_id").cast("string").as("url"),
+          posexplode(extract_mentions(col("ctext"))).as(Seq("pos", "m")))
+        .select(xxhash64(col("url"), col("m.begin")).as("mention_id"),
+          col("url"), normalize_name(col("m.name")).as("name_norm"))
+        .filter(length(col("name_norm")) >= 2)
+      nelspark.pipeline.Coref.chains(m)
+        .groupBy("chain_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_chains"))
+        .orderBy("sz")
+    }),
+
     // Document fingerprinting (rolling hash; rows-only)
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -573,8 +647,21 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
         |               b.vec_id ASC) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 50 AND a.vec_id <> b.vec_id)
-        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-    // q_minhash_pairs / q_simhash_pairs / q_fingerprint / q_er_doc_clusters:
-    // custom-hash / iterative operators — rows-only check by design.
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT p_partkey,
+        |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS name_norm
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin
+    // q_minhash_pairs / q_simhash_pairs / q_fingerprint / q_er_doc_clusters /
+    // q_ann_lsh / q_mentions / q_coref_chains: custom-hash / iterative /
+    // approximate operators — rows-only check by design.
   )
 }

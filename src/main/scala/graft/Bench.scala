@@ -8,6 +8,10 @@ object Bench {
     // splits) — see nelspark.Main.session; output contract unchanged
     val spark = nelspark.Main.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-reader init otherwise lands
+    // entirely on whichever query the Map ordering puts first (~8s skew)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

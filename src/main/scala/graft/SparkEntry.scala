@@ -325,8 +325,8 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
-          minhash_bands(minhash_signature(
-            char_ngrams(lower(col("text")), 8), 12, 42L), 4).as("bands"))
+          minhash_bands(
+            minhash_ngrams(lower(col("text")), 8, 12, 42L), 4).as("bands"))
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
       val a = d.withColumnRenamed("doc_id", "a_id")
       val b = d.withColumnRenamed("doc_id", "b_id")
@@ -445,8 +445,8 @@ object SparkEntry {
       import nelspark.pipeline.{Cluster, ErConfig}
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
-          minhash_bands(minhash_signature(
-            char_ngrams(lower(col("text")), 8), 12, 42L), 4).as("bands"))
+          minhash_bands(
+            minhash_ngrams(lower(col("text")), 8, 12, 42L), 4).as("bands"))
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
       val a = d.withColumnRenamed("doc_id", "a_id")
       val b = d.withColumnRenamed("doc_id", "b_id")

@@ -22,29 +22,6 @@ import nelspark.functions._
  */
 object Ann {
 
-  /** Deterministic pseudo-gaussian hyperplane component (Box-Muller over
-    * seed-derived uniforms would be overkill; sign-LSH only needs
-    * symmetric zero-mean components, so a mixed-hash uniform in [-1,1)
-    * suffices and stays bit-reproducible). */
-  private def component(seed: Long, table: Int, bit: Int, dim: Int): Double = {
-    val h = nelspark.expr.Kernels.mix64(
-      seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong)
-    (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
-  }
-
-  /** Column: bucket key for one LSH table — the sign bits of `bits`
-    * hyperplane dot products packed into a long. */
-  private def bucketKey(vec: Column, dim: Int, table: Int, bits: Int,
-      seed: Long): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val dot = (0 until dim).map { d =>
-        vec.getItem(d) * lit(component(seed, table, b, d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** Exact cosine top-k for each query vector (queries small, corpus big). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -61,14 +38,12 @@ object Ann {
     * across `tables` sign-LSH tables, exact re-rank of candidates. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
-    def withBuckets(df: DataFrame, idName: String, embName: String): DataFrame = {
-      val keyed = (0 until tables).map { t =>
-        df.select(col("vec_id").as(idName), col("embedding").as(embName),
-          lit(t).as("tbl"),
-          bucketKey(col("embedding"), dim, t, bits, seed).as("bkt"))
-      }
-      keyed.reduce(_ unionByName _)
-    }
+    // one SignLshBuckets call per row + posexplode (index = table id)
+    // replaces a per-table union of dim×bits arithmetic Column trees
+    def withBuckets(df: DataFrame, idName: String, embName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(embName),
+        posexplode(sign_lsh_buckets(col("embedding"), tables, bits, seed))
+          .as(Seq("tbl", "bkt")))
     val qb = withBuckets(queries, "q_id", "q_emb")
     val cb = withBuckets(corpus, "n_id", "n_emb")
     val cands = qb.join(cb, Seq("tbl", "bkt"))

@@ -52,6 +52,10 @@ object ExprHelpers {
     new GenericArrayData(rows)
   }
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  def signLsh(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData =
+    new GenericArrayData(Kernels.signLshBuckets(vec.toFloatArray(), tables, bits, seed))
+  def minhashNgrams(s: UTF8String, n: Int, k: Int, seed: Long): ArrayData =
+    new GenericArrayData(Kernels.minHashNgrams(s.toString, n, k, seed))
 
   /** Merge-scan dot over parallel primitive arrays (h-sorted). */
   def sparseDotArrays(ha: ArrayData, wa: ArrayData,
@@ -158,6 +162,23 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     defineCodeGen(ctx, ev, c => s"nelspark.expr.ExprHelpers.minhash($c, $k, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+/** Fused char-n-gram MinHash signature of a string (B2 hot path):
+  * equivalent to MinHashSignature(CharNGrams(s, n), k, seed) over the
+  * n-gram SET but with a different hash family and zero per-row
+  * allocation (sliding char-window hashing, no substrings, no dedup). */
+case class MinHashNgrams(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.minhashNgrams(v.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"nelspark.expr.ExprHelpers.minhashNgrams($c, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_ngrams"
 }
 
 /** LSH band keys from a MinHash signature (B2). */
@@ -271,6 +292,26 @@ case class SparseDotArrays(ha: Expression, wa: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): Expression = copy(ha = a, wa = b, hb = c, wb = d)
   override def prettyName: String = "sparse_dot_arrays"
+}
+
+/**
+ * All sign-LSH bucket keys of an array<float> embedding in one pass
+ * (ANN scale path): element t = table t's `bits` hyperplane signs packed
+ * into a long. Replaces a tables×bits×dim-node Column arithmetic tree
+ * (4096 ops at the 16×4×64 operating point — codegen-hostile and 16×
+ * the scan) with one cached-plane kernel call.
+ */
+case class SignLshBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.signLsh(v.asInstanceOf[ArrayData], tables, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"nelspark.expr.ExprHelpers.signLsh($c, $tables, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sign_lsh_buckets"
 }
 
 /** Character-set Jaccard (DuckDB `jaccard()` semantics). */

@@ -273,22 +273,68 @@ object Kernels {
 
   // ----------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over a term set. Hash family i =
-    * hashString(term, mix64(seed + i)). Empty input → Long.MaxValue rows
-    * (never collides with real signatures in band hashing). */
+  /** k-permutation MinHash signature over a term set. One byte-level hash
+    * per term; family i = mix64(h ^ salt_i) (Kirsch-Mitzenmacher-style
+    * derived families — k× cheaper than re-hashing the bytes per family,
+    * same collision behavior for LSH banding). Empty input →
+    * Long.MaxValue rows (never collides with real signatures in band
+    * hashing). */
   def minHashSignature(terms: Array[String], k: Int, seed: Long): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
+    val salts = new Array[Long](k)
+    var i = 0
+    while (i < k) { salts(i) = mix64(seed + i); i += 1 }
     var t = 0
     while (t < terms.length) {
-      val bytes = terms(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
+      val h0 = hashBytes(
+        terms(t).getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+      i = 0
       while (i < k) {
-        val h = hashBytes(bytes, mix64(seed + i))
+        val h = mix64(h0 ^ salts(i))
         if (h < sig(i)) sig(i) = h
         i += 1
       }
       t += 1
     }
+    sig
+  }
+
+  /** Seeded hash of a char window of `s` — no substring/byte-array
+    * allocation (chars mixed as 16-bit values; a distinct family from
+    * [[hashBytes]], which is fine — minhash only needs a consistent one). */
+  @inline def hashChars(s: String, off: Int, n: Int, seed: Long): Long = {
+    var h = seed ^ (n * P1)
+    var j = 0
+    while (j < n) {
+      h = java.lang.Long.rotateLeft(h ^ mix64(s.charAt(off + j).toLong), 27) * P1 + P2
+      j += 1
+    }
+    mix64(h)
+  }
+
+  /** Fused char-n-gram MinHash: signature of the n-gram multiset of `s`
+    * computed by sliding a char window — no n-gram materialization, no
+    * dedup (the min over a multiset equals the min over its set). Replaces
+    * charNGrams→minHashSignature composition in the hot path: the
+    * composed form allocates ~len substrings + a LinkedHashSet per row. */
+  def minHashNgrams(s: String, n: Int, k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val salts = new Array[Long](k)
+    var i = 0
+    while (i < k) { salts(i) = mix64(seed + i); i += 1 }
+    val len = s.length
+    @inline def update(h0: Long): Unit = {
+      var j = 0
+      while (j < k) {
+        val h = mix64(h0 ^ salts(j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    if (len == 0) return sig
+    if (len <= n) { update(hashChars(s, 0, len, seed)); return sig }
+    var off = 0
+    while (off + n <= len) { update(hashChars(s, off, n, seed)); off += 1 }
     sig
   }
 
@@ -375,6 +421,63 @@ object Kernels {
     // dot/(sqrt·sqrt) — matches DuckDB list_cosine_similarity on DOUBLE[]
     // bit-for-bit (sequential double accumulation, separate sqrts)
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // -------------------------------------------------------- sign LSH
+
+  /** Deterministic pseudo-gaussian hyperplane component for sign-LSH
+    * (symmetric zero-mean uniform in [-1,1) from a mixed hash; sign-LSH
+    * needs no true gaussian). Bit-compatible with the Column-composed
+    * form previously in nelspark.ann.Ann. */
+  def lshComponent(seed: Long, table: Int, bit: Int, dim: Int): Double = {
+    val h = mix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong)
+    (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+  }
+
+  private val lshPlanes =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
+
+  /** All `tables` sign-LSH bucket keys of a float vector in one pass:
+    * element t = the `bits` hyperplane-dot signs of table t packed into a
+    * long. Hyperplanes are seed-derived and cached per (seed,tables,bits,
+    * dim) — one plane build per executor, 0 allocations per row beyond
+    * the output array. */
+  def signLshBuckets(vec: Array[Float], tables: Int, bits: Int, seed: Long): Array[Long] = {
+    val dim = vec.length
+    val planes = lshPlanes.computeIfAbsent((seed, tables, bits, dim), key => {
+      val p = new Array[Double](tables * bits * dim)
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          var d = 0
+          while (d < dim) {
+            p((t * bits + b) * dim + d) = lshComponent(seed, t, b, d)
+            d += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      p
+    })
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        val off = (t * bits + b) * dim
+        var d = 0
+        while (d < dim) { dot += vec(d) * planes(off + d); d += 1 }
+        if (dot >= 0) key |= (1L << b)
+        b += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    out
   }
 
   // ------------------------------------------------------ mention spans

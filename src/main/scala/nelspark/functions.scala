@@ -32,6 +32,10 @@ object functions {
   def minhash_signature(terms: Column, k: Int, seed: Long): Column =
     c(MinHashSignature(e(terms), k, seed))
 
+  /** Fused char-n-gram MinHash signature (allocation-free hot path). */
+  def minhash_ngrams(text: Column, n: Int, k: Int, seed: Long): Column =
+    c(MinHashNgrams(e(text), n, k, seed))
+
   /** LSH band keys over a signature (B2). */
   def minhash_bands(sig: Column, bands: Int): Column = c(MinHashBands(e(sig), bands))
 
@@ -46,6 +50,10 @@ object functions {
 
   /** Capitalized-span mention spans: array<struct<begin,end,name>> (P3). */
   def extract_mentions(text: Column): Column = c(ExtractMentions(e(text)))
+
+  /** All sign-LSH bucket keys (one long per table) of an array<float>. */
+  def sign_lsh_buckets(vec: Column, tables: Int, bits: Int, seed: Long): Column =
+    c(SignLshBuckets(e(vec), tables, bits, seed))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = c(HammingDist64(e(a), e(b)))

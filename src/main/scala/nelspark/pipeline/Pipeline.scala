@@ -34,7 +34,12 @@ case class ErConfig(
     wLev: Double = 0.15,
     wCtx: Double = 0.40,
     tau: Double = 0.72,
-    maxIter: Int = 25)
+    maxIter: Int = 25,
+    /** Edge count at or below which connected components runs as a
+      * driver-local union-find (one job) instead of the distributed
+      * large-star/small-star fixpoint. Both paths produce identical
+      * clusters (tested); at web scale the distributed path always runs. */
+    ccLocalMax: Long = 1000000L)
 
 /** P1: deterministic text extraction over the pages table. */
 object Extract {
@@ -81,8 +86,7 @@ object Block {
     val lsh = mentions
       .select(col("mention_id"), col("name_norm"), col("url"), posexplode(
         minhash_bands(
-          minhash_signature(char_ngrams(col("name_norm"), cfg.ngramN),
-            cfg.minhashK, cfg.seed),
+          minhash_ngrams(col("name_norm"), cfg.ngramN, cfg.minhashK, cfg.seed),
           cfg.bands)).as(Seq("band", "bh")))
       .select(col("mention_id"), col("name_norm"), col("url"),
         concat(lit("l:"), col("band"), lit(":"), col("bh")).as("block_key"),
@@ -311,23 +315,80 @@ object Cluster {
    * @param allIds   one-column DF of every node id (singletons included)
    * @return         (mention_id, cluster_id) with cluster_id = min member id
    */
+  /** Driver-local union-find over a collected edge array; cluster id =
+    * min member id (same contract as the distributed path — CC tests
+    * assert both paths agree on the same graphs). */
+  private def localUnionFind(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, java.lang.Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.get(r)
+      while (p != null && p.longValue != r) { r = p.longValue; p = parent.get(r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = parent.get(c).longValue; parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = find(row.getLong(0)); val b = find(row.getLong(1))
+      if (a != b) {
+        // smaller root wins → root IS the min member id
+        if (a < b) parent.put(b, a) else parent.put(a, b)
+      }
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.keySet().forEach { k => out += ((k.longValue, find(k.longValue))) }
+    out.toSeq
+  }
+
   def connectedComponents(edges: DataFrame, allIds: DataFrame,
       cfg: ErConfig): DataFrame = {
     var e = edges.select("a_id", "b_id").localCheckpoint(true)
-    var prev = (-1L, 0L)
-    var it = 0
-    var converged = false
-    while (it < cfg.maxIter && !converged) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = checksum(e)
-      converged = cur == prev
-      prev = cur
-      it += 1
-    }
+    val sess = e.sparkSession
+    val n0 = e.count()
+
+    val assign: DataFrame =
+      if (n0 <= cfg.ccLocalMax) {
+        // Small-graph fast path: below ~10^6 edges the distributed
+        // fixpoint pays 5+ shuffle rounds of near-empty partitions per
+        // iteration for a graph that fits in driver memory many times
+        // over — one collect + union-find is both faster and exact. At
+        // web scale n0 exceeds the bound on the first call and the
+        // distributed loop below always runs.
+        import sess.implicits._
+        sess.createDataset(localUnionFind(e.collect()))
+          .toDF("mention_id", "cluster_id")
+      } else {
+        // Size the fixpoint loop's shuffles to the LIVE edge count, not
+        // the session default: ~100k edges/partition keeps partitions
+        // in memory while avoiding near-empty tasks; at web scale the
+        // count clamps to the session default (plans unchanged).
+        val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+        val loopParts = math.max(1L, math.min(sessParts.toLong, n0 / 100000L + 1L)).toInt
+        val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
+        var prev = (-1L, 0L)
+        var it = 0
+        var converged = false
+        try {
+          if (loopParts < sessParts) sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+          while (it < cfg.maxIter && !converged) {
+            e = smallStar(largeStar(e)).localCheckpoint(true)
+            val cur = checksum(e)
+            converged = cur == prev
+            prev = cur
+            it += 1
+          }
+        } finally {
+          prevParts.foreach(p => sess.conf.set("spark.sql.shuffle.partitions", p))
+        }
+        e.select(col("a_id").as("mention_id"), col("b_id").as("cluster_id"))
+          .unionAll(e.select(col("b_id").as("mention_id"), col("b_id").as("cluster_id")))
+          .groupBy("mention_id").agg(min("cluster_id").as("cluster_id"))
+      }
+
     val idCol = allIds.columns.head
-    val assign = e.select(col("a_id").as("mention_id"), col("b_id").as("cluster_id"))
-      .unionAll(e.select(col("b_id").as("mention_id"), col("b_id").as("cluster_id")))
-      .groupBy("mention_id").agg(min("cluster_id").as("cluster_id"))
     allIds.select(col(idCol).as("mention_id"))
       .join(assign, Seq("mention_id"), "left")
       .select(col("mention_id"),

@@ -88,6 +88,22 @@ class ExprSpec extends SparkSpec {
     assert(Kernels.minHashBands(a, 4).length == 4)
   }
 
+  test("minhash_ngrams: deterministic, multiset-invariant, window semantics") {
+    // duplicates of an n-gram never change a min — same distinct gram set
+    // ("abcabc" and "abcabcabc" both have 3-grams {abc,bca,cab})
+    val a = Kernels.minHashNgrams("abcabc", 3, 12, 42L)
+    val b = Kernels.minHashNgrams("abcabcabc", 3, 12, 42L)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq == Kernels.minHashNgrams("abcabc", 3, 12, 42L).toSeq)
+    // short-string fallback: the whole string is the single gram
+    val s = Kernels.minHashNgrams("ab", 3, 12, 42L)
+    assert(s.toSeq == Kernels.minHashNgrams("ab", 5, 12, 42L).toSeq)
+    // empty input -> sentinel signature
+    assert(Kernels.minHashNgrams("", 3, 4, 42L).toSeq == Seq.fill(4)(Long.MaxValue))
+    // different text -> different signature
+    assert(a.toSeq != Kernels.minHashNgrams("xyzxyz", 3, 12, 42L).toSeq)
+  }
+
   test("minhash band collision rate grows with Jaccard (statistical)") {
     // identical sets always collide on every band
     val s1 = Kernels.minHashSignature(Array("a", "b", "c"), 12, 7L)

@@ -58,25 +58,43 @@ class PipelineSpec extends SparkSpec {
     assert(d1 == d2)
   }
 
-  test("connected components: known graphs") {
-    val cfg = ErConfig(maxIter = 30)
+  test("connected components: known graphs (local AND distributed paths)") {
     // path 1-2-3-4, triangle 10-11-12, singleton 99
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("a_id", "b_id")
     val ids = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L)).toDF("mention_id")
-    val got = Cluster.connectedComponents(edges, ids, cfg)
-      .as[(Long, Long)].collect().sorted.toSeq
-    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
-      (10L, 10L), (11L, 10L), (12L, 10L), (99L, 99L)))
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (99L, 99L))
+    for (cfg <- Seq(ErConfig(maxIter = 30),                  // local union-find
+                    ErConfig(maxIter = 30, ccLocalMax = 0))) // distributed fixpoint
+      assert(Cluster.connectedComponents(edges, ids, cfg)
+        .as[(Long, Long)].collect().sorted.toSeq == expected)
   }
 
-  test("connected components: long path converges in O(log n) rounds") {
+  test("connected components: long path converges in O(log n) rounds (distributed)") {
     val n = 500
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
     val ids = (1 to n).map(_.toLong).toDF("mention_id")
-    val got = Cluster.connectedComponents(edges, ids, ErConfig(maxIter = 30))
+    val got = Cluster.connectedComponents(edges, ids,
+      ErConfig(maxIter = 30, ccLocalMax = 0))
     assert(got.select("cluster_id").distinct().count() == 1L)
     assert(got.agg(min("cluster_id")).head().getLong(0) == 1L)
+  }
+
+  test("local and distributed CC paths agree on a pseudo-random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 3000).map { _ =>
+      (rnd.nextInt(800).toLong, rnd.nextInt(800).toLong)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a_id", "b_id")
+    val ids = (0 until 800).map(_.toLong).toDF("mention_id")
+    val local = Cluster.connectedComponents(edges, ids, ErConfig(maxIter = 30))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val dist = Cluster.connectedComponents(edges, ids,
+      ErConfig(maxIter = 30, ccLocalMax = 0))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(local == dist)
   }
 
   test("chained mega-blocks still cluster hot entities (scale path)") {

@@ -151,10 +151,12 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
-    // J5b: left-anti (NOT EXISTS)
+    // J5b: left-anti (NOT EXISTS). Right side is filtered (customers with
+    // no URGENT order) so the result is non-empty at every sf — an empty
+    // anti-join would hash-match its oracle trivially.
     "q_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
@@ -166,10 +168,14 @@ object SparkEntry {
         .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
         .distinct().orderBy("nationkey")
     }),
+    // EXCEPT with a guaranteed-non-empty result: custkeys that never
+    // placed an URGENT order
     "q_set_except" -> ((s, dir) => {
-      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
-        .orderBy("nationkey")
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
     }),
     "q_set_intersect" -> ((s, dir) => {
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -439,6 +445,38 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // G1 oracle-checked: connected components over a SQL-derivable path
+    // graph (consecutive same-user events ≤30min apart). The CC result —
+    // session-size histogram — is independently computable in DuckDB via
+    // lag/cumsum sessionization, giving the iterative large-star/small-star
+    // operator an exact cross-engine oracle.
+    "q_cc_sessions" -> ((s, dir) => {
+      import nelspark.pipeline.{Cluster, ErConfig}
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = t(s, dir, "events")
+      val withPrev = ev
+        .withColumn("prev_id", lag("event_id", 1).over(byUser))
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      val edges = withPrev
+        .filter(col("prev_id").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) <= 1800)
+        .select(col("prev_id").as("a_id"), col("event_id").as("b_id"))
+      val ids = ev.select(col("event_id"))
+      Cluster.connectedComponents(edges, ids, ErConfig())
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("sz")
+    }),
+
+    // Grouping sets: full cube
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+    }),
+
     // ER showcase: near-dup clustering of documents via minhash edges +
     // connected components (rows-only; iterative — not SQL-expressible)
     "q_er_doc_clusters" -> ((s, dir) => {
@@ -540,7 +578,8 @@ object SparkEntry {
 
     "q_anti" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_set_union" ->
@@ -550,8 +589,9 @@ object SparkEntry {
         |ORDER BY nationkey""".stripMargin,
 
     "q_set_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
 
     "q_set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
@@ -560,6 +600,25 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cc_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sid FROM g),
+        |c AS (SELECT user_id, sid, count(*) AS sz FROM s GROUP BY 1,2)
+        |SELECT sz, count(*) AS n_sessions FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty

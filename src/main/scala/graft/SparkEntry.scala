@@ -80,17 +80,21 @@ object SparkEntry {
         .limit(100)
     }),
 
-    // A4: tf-idf weights (log rounded for cross-engine parity)
+    // A4: tf-idf weights (log rounded for cross-engine parity). One
+    // explode + one shuffle for tf; df falls out of tf as a window count
+    // (each (doc_id,term) group IS one distinct doc), so no second
+    // explode, no countDistinct join; N arrives via a broadcast 1-row
+    // cross join instead of an eager driver head().
     "q_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val terms = docs
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
-      val n = docs.select(countDistinct("doc_id")).head().getLong(0)
+      val nDf = docs.agg(countDistinct("doc_id").cast("double").as("n_docs"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      tf.join(dfT, "term")
-        .withColumn("w", round(col("tf") * log(lit(n.toDouble + 1.0) / (col("df") + lit(1.0))), 6))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      tf.crossJoin(broadcast(nDf))
+        .withColumn("w", round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + lit(1.0))), 6))
         .select("doc_id", "term", "tf", "df", "w")
         .orderBy(desc("w"), asc("doc_id"), asc("term"))
         .limit(500)

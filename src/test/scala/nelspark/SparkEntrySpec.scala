@@ -18,11 +18,9 @@ class SparkEntrySpec extends SparkSpec {
 
   test("all queries execute at sf0.001 and return rows") {
     val dir = "/root/testdata/sf0.001"
-    val empties = Seq("q_anti", "q_set_except") // legitimately empty at this sf
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
-      if (!empties.contains(name))
-        assert(n > 0, s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 }

@@ -27,6 +27,16 @@ object Main {
       // (measured: 4-5 busy threads of 32)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // InferFiltersFromGenerate synthesizes size(g)>0 && isnotnull(g)
+      // below every posexplode and pushdown inlines the generator input
+      // into both predicates — our generate inputs are expensive computed
+      // arrays (MinHash signatures, mention spans), so the "free" filter
+      // TRIPLES the kernel cost per row (measured 0.91s -> 0.52s on the
+      // band self-join at sf0.1; at corpus scale it is 3x extraction).
+      // Empty arrays are rare in this workload, so the skip it buys is
+      // worthless.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // input splits: small dense parquet (≈30MB for 500k mentions) must
       // still fan out across cores
       .config("spark.sql.files.maxPartitionBytes", "16m")

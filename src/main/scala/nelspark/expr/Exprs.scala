@@ -41,8 +41,21 @@ object ExprHelpers {
   }
   def fingerprint(text: UTF8String, w: Int): Long =
     Kernels.docFingerprint(Kernels.tokens(text.toString), w)
-  def cosF(a: ArrayData, b: ArrayData): Double =
-    Kernels.cosineFloat(a.toFloatArray(), b.toFloatArray())
+  /** Dense cosine straight off ArrayData — no per-pair toFloatArray()
+    * copies (2 allocations × 50M pairs in the exact dedup baseline).
+    * Accumulation order identical to Kernels.cosineFloat (DuckDB-pinned). */
+  def cosF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
   def mentions(text: UTF8String): ArrayData = {
     val spans = Kernels.extractMentions(text.toString)
     val rows: Array[Any] = spans.map { sp =>

@@ -449,6 +449,42 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // As-of join (Spark has no native one): composed scale-safely as
+    // union-tag → one shuffle by user → running last() — no BNLJ, no
+    // per-row probe. For each purchase, the latest click by the same
+    // user at ts' <= ts. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"), lit(null).cast("long").as("r_event_id"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), col("event_id").as("r_event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.unionByName(r)
+        .withColumn("asof_click_id", last("r_event_id", ignoreNulls = true).over(w))
+        .withColumn("asof_click_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("event_id", "user_id", "asof_click_id", "asof_click_ts")
+        .orderBy("event_id")
+    }),
+
+    // Equi join with a range residual (shipdate within 60 days of the
+    // order date): SMJ/SHJ on the key, range as post-join predicate
+    "q_join_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= date_add(o("o_orderdate"), 60))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // G1 oracle-checked: connected components over a SQL-derivable path
     // graph (consecutive same-user events ≤30min apart). The CC result —
     // session-size histogram — is independently computable in DuckDB via
@@ -604,6 +640,21 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS asof_click_id,
+        |  r.ts AS asof_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cc_sessions" ->
       """WITH g AS (

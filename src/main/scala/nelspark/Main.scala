@@ -36,7 +36,8 @@ object Main {
       // Empty arrays are rare in this workload, so the skip it buys is
       // worthless.
       .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        sys.env.getOrElse("NELSPARK_EXCLUDED_RULES",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
       // input splits: small dense parquet (≈30MB for 500k mentions) must
       // still fan out across cores
       .config("spark.sql.files.maxPartitionBytes", "16m")

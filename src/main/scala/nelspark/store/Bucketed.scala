@@ -18,12 +18,27 @@ import org.apache.spark.sql.DataFrame
 object Bucketed {
 
   /** Write `df` as a bucketed+sorted parquet table in the session catalog
-    * (catalog metadata is what carries the bucket spec to later scans). */
-  def write(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    * (catalog metadata is what carries the bucket spec to later scans).
+    * Idempotent across sessions: with the in-memory catalog, a table dir
+    * left by a previous JVM is unknown to the catalog, so "overwrite"
+    * would refuse with LOCATION_ALREADY_EXISTS — drop+delete first. */
+  def write(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (scan exposes outputPartitioning =
     * HashPartitioning(keys, buckets), enabling exchange-free joins). */

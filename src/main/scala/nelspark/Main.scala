@@ -18,7 +18,8 @@ object Main {
       // across many more partitions than cores or one straggler task
       // caps the whole stage; AQE parallelism-first keeps them >= cores
       .config("spark.sql.shuffle.partitions",
-        (math.max(cores.toInt, 1) * 4).toString)
+        (math.max(cores.toInt, 1) *
+          sys.env.getOrElse("NELSPARK_SHUFFLE_MULT", "4").toInt).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("NELSPARK_AQE_COALESCE", "true"))
@@ -92,6 +93,31 @@ object Main {
     }
     val mentions = spark.read.parquet(s"$preDir/mentions.parquet")
     val vecs = spark.read.parquet(s"$preDir/vecs.parquet")
+
+    // Untimed warmup: the identical DAG at 1/10 scale. Whole-stage-codegen
+    // compilation + C2 JIT of the kernels is a CONSTANT ~3-5s that would
+    // otherwise be billed to the timed run — a 4-6% phantom penalty on the
+    // fast (4N) level vs ~1.5% on the slow one, skewing the efficiency
+    // ratio. Same hygiene as graft.Bench's untimed warmup.
+    {
+      val wDir = s"target/fixtures/bench_${nPages / 10}"
+      CorpusGen.ensureFixture(spark, wDir, nPages / 10, nPages / 50)
+      val wPages = spark.read.parquet(s"$wDir/pages.parquet")
+      val wPre = s"$wDir/pre"
+      if (!new java.io.File(s"$wPre/_DONE").exists()) {
+        val ex = Extract(wPages)
+        Mentions(ex, cfg).write.mode("overwrite").parquet(s"$wPre/mentions.parquet")
+        Tfidf.pageVectors(ex, cfg.ctxTopK).write.mode("overwrite").parquet(s"$wPre/vecs.parquet")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$wPre/_DONE"), "ok")
+      }
+      val wM = spark.read.parquet(s"$wPre/mentions.parquet")
+      val wV = spark.read.parquet(s"$wPre/vecs.parquet")
+      val wKeys = Block.keys(wM, cfg)
+      val (wPairs, _) = Block.pairs(wKeys, wM, cfg)
+      val wEdges = Score.edges(Score(wPairs, wM, wV, cfg), cfg)
+      Cluster.connectedComponents(wEdges, wM.select("mention_id"), cfg)
+        .select("cluster_id").distinct().count(): Unit
+    }
 
     // FUSED timed section: blocking → scoring → clustering as one linear
     // DAG with no mid-pipeline cache/count barriers (each barrier both

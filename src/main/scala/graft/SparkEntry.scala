@@ -508,6 +508,28 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // Window frame spec: value-based RANGE frame (peer-inclusive,
+    // deterministic under ties by construction)
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-50000L, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("n_within_50k", count(lit(1)).over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("n_within_50k"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) via SQL
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+              |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    }),
+
     // Grouping sets: full cube
     "q_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -668,6 +690,19 @@ object SparkEntry {
         |    AS sid FROM g),
         |c AS (SELECT user_id, sid, count(*) AS sz FROM s GROUP BY 1,2)
         |SELECT sz, count(*) AS n_sessions FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_within_50k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,

@@ -539,6 +539,105 @@ object SparkEntry {
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
     }),
 
+    // Dedup 5: word-3-gram Jaccard near-dup pairs under prefix blocking
+    // (block = first two tokens — bounds pairs linearly in corpus size;
+    // the generator's near-dups share prefixes). Exact set Jaccard over
+    // n-gram arrays; fully SQL-expressible → DuckDB oracle.
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .withColumn("tk", split(lower(col("text")), "\\s+"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("tk"), 1), element_at(col("tk"), 2)).as("bk"),
+          array_distinct(transform(sequence(lit(1), size(col("tk")) - 2), i =>
+            concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2)))).as("g"))
+      val a = g.withColumnsRenamed(Map("doc_id" -> "a_id", "g" -> "a_g"))
+      val b = g.withColumnsRenamed(Map("doc_id" -> "b_id", "g" -> "b_g"))
+      a.join(b, Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+            size(array_union(col("a_g"), col("b_g"))), 6).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Pivot (wide conditional aggregation): per-user event-type counts
+    "q_pivot" -> ((s, dir) => {
+      val kinds = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: kinds.map(k =>
+          coalesce(col(k), lit(0L)).as(s"${k}_n")): _*)
+        .orderBy("user_id")
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont: both linear-interpolate between order statistics)
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    }),
+
+    // Ordered string aggregation (listagg): sorted distinct segments per
+    // nation (collect_set is unordered → canonicalized by array_sort)
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"))
+        .orderBy("c_nationkey")
+    }),
+
+    // A3 scale path: HLL approx_count_distinct (approximate by design →
+    // rows-only check; the exact form is oracle-checked in q_distinct)
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Multimodal plumbing: opaque binary payloads decoded partition-wise
+    // (MediaOps.decodeMeta — one decoder context per partition, STUB
+    // byte-decode). Oracle covers the byte-level facts (counts, payload
+    // sizes), which are engine-independent; stub-derived width/height are
+    // exercised in the rows-only q_media_frames below.
+    "q_media_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "video")
+            .otherwise("audio").as("kind"),
+          to_binary(col("text"), lit("utf-8")).as("payload"))
+      nelspark.media.MediaOps.decodeMeta(media).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+          min("media_id").as("min_id"))
+        .orderBy("kind")
+    }),
+
+    // Multimodal: deterministic frame-sampling plan over decoded video
+    // metadata (explode of a bounded frame-index sequence; rows-only —
+    // n_frames comes from the stub decoder)
+    "q_media_frames" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          to_binary(col("text"), lit("utf-8")).as("payload"))
+      val meta = nelspark.media.MediaOps.decodeMeta(media)
+      nelspark.media.MediaOps.frameSamplePlan(meta)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"),
+          max("frame_idx").as("last_frame"))
+        .orderBy("media_id")
+    }),
+
     // ER showcase: near-dup clustering of documents via minhash edges +
     // connected components (rows-only; iterative — not SQL-expressible)
     "q_er_doc_clusters" -> ((s, dir) => {
@@ -808,9 +907,54 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, concat_ws(' ', tk[1], tk[2]) AS bk,
+        |    list_distinct(list_transform(range(1, len(tk)-1),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+        |  FROM toks WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jac
+        |FROM ng a JOIN ng b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click_n,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view_n,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error_n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+        |    ELSE 'audio' END AS kind,
+        |  count(*) AS n,
+        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     // q_minhash_pairs / q_simhash_pairs / q_fingerprint / q_er_doc_clusters /
-    // q_ann_lsh / q_mentions / q_coref_chains: custom-hash / iterative /
-    // approximate operators — rows-only check by design.
+    // q_ann_lsh / q_mentions / q_coref_chains / q_approx_distinct /
+    // q_media_frames: custom-hash / iterative / approximate / stub-decoder
+    // operators — rows-only check by design.
   )
 }

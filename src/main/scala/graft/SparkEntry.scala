@@ -638,6 +638,58 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Explicit skew handling as a query: salted equi-join (hot keys
+    // spread over 8 salt buckets, dim side exploded ×8) — result is
+    // EXACTLY the plain join, so the oracle is the unsalted SQL
+    "q_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "part")
+        .withColumnRenamed("p_partkey", "l_partkey")
+        .select("l_partkey", "p_type")
+      nelspark.ops.Skew.saltedJoin(li, dim, "l_partkey", "l_orderkey", 8)
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("p_type")
+    }),
+
+    // Explicit skew handling: two-stage salted aggregation (partial agg
+    // on (key, salt), final agg on key) — identical result to the direct
+    // groupBy; the pattern that bounds per-task state on Zipfian keys
+    "q_skew_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(16L)))
+        .groupBy("event_type", "_salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), sum("pv").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Text analysis: BPE-ish regex tokenization (letter runs / digit runs
+    // as subword pieces — the pre-merge alphabet of a byte-pair encoder)
+    "q_token_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("pieces",
+          regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          size(array_distinct(col("pieces"))).cast("long").as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+
+    // ANN scale path 2: IVF (inverted-file) — coarse-quantizer cells +
+    // nprobe-cell exact re-rank (approximate by design → rows-only;
+    // recall vs brute force gated in AnnSpec)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      nelspark.ann.Ann.ivfTopK(q, e, k = 5, nlist = 16, nprobe = 8)
+        .withColumn("rn", col("rn").cast("long"))
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q_id", "rn")
+    }),
+
     // ER showcase: near-dup clustering of documents via minhash edges +
     // connected components (rows-only; iterative — not SQL-expressible)
     "q_er_doc_clusters" -> ((s, dir) => {
@@ -909,6 +961,23 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "q_skew_salted_join" ->
+      """SELECT p_type, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_pieces,
+        |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |    AS n_uniq
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
@@ -953,8 +1022,8 @@ object SparkEntry {
         |  min(doc_id) AS min_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     // q_minhash_pairs / q_simhash_pairs / q_fingerprint / q_er_doc_clusters /
-    // q_ann_lsh / q_mentions / q_coref_chains / q_approx_distinct /
-    // q_media_frames: custom-hash / iterative / approximate / stub-decoder
-    // operators — rows-only check by design.
+    // q_ann_lsh / q_ann_ivf / q_mentions / q_coref_chains /
+    // q_approx_distinct / q_media_frames: custom-hash / iterative /
+    // approximate / stub-decoder operators — rows-only check by design.
   )
 }

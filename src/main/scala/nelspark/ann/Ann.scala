@@ -57,6 +57,74 @@ object Ann {
       .select("q_id", "rn", "n_id", "sim")
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k — the second scale path beside
+   * sign-LSH. A coarse quantizer of `nlist` centroids partitions the
+   * corpus into cells (the inverted lists); each query probes only its
+   * `nprobe` nearest cells and exact-cosine re-ranks those cells'
+   * vectors. Cost per query ≈ nlist (centroid scan, broadcast) +
+   * |probed cells| instead of |corpus|.
+   *
+   * Centroids are deterministic: seed-hash-ordered sample of `nlist`
+   * corpus vectors, refined by `iters` Lloyd steps. Each step is two
+   * shuffles (argmax-assign via broadcast centroid cross-join, then an
+   * elementwise mean over exploded dimensions) — nlist stays tiny, so
+   * the centroid table always broadcasts and the corpus is never
+   * shuffled by anything wider than its cell id.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+
+    // deterministic init: nlist corpus vectors in xxhash64(id, seed) order
+    val w0 = Window.orderBy("hk", "n_id")
+    var cent: DataFrame = c
+      .withColumn("hk", xxhash64(col("n_id"), lit(seed)))
+      .orderBy("hk", "n_id").limit(nlist)
+      .select((row_number().over(w0) - 1).cast("int").as("cell"),
+        col("n_emb").as("c_emb"))
+
+    // nearest-cell assignment under the CURRENT centroid table
+    def assign(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("_sim", cosine_sim(col(embCol), col("c_emb")))
+      val w = Window.partitionBy(idCol).orderBy(desc("_sim"), asc("cell"))
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_sim", "_rn", "c_emb")
+    }
+
+    // Lloyd refinement: elementwise mean per cell (empty cells drop out;
+    // cosine is norm-invariant so the mean needs no re-normalization)
+    for (_ <- 0 until iters) {
+      cent = assign(c, "n_id", "n_emb")
+        .select(col("cell"), posexplode(col("n_emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("mv"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv").cast("float")).as("c_emb"))
+    }
+
+    val corpusCells = assign(c, "n_id", "n_emb")
+
+    // query side: probe the nprobe nearest cells
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy("q_id").orderBy(desc("_sim"), asc("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("_sim", cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("_rn", row_number().over(wq)).filter(col("_rn") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+
+    // candidates = probed inverted lists; exact re-rank
+    val scored = probes.join(corpusCells, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine_sim(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "sim")
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
     val e = exact.select(col("q_id"), col("n_id"))

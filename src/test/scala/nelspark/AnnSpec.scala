@@ -32,6 +32,29 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall too low: $recall")
   }
 
+  test("IVF top-k reaches >=60% recall@5 vs exact, k rows per query") {
+    // random vectors are the IVF worst case (no cluster structure →
+    // neighbors scatter across cells); nprobe=8 of nlist=16 probes half
+    // the inverted lists. Real embedding corpora cluster, letting
+    // nprobe/nlist shrink to a few percent at the same recall.
+    val exact = Ann.bruteForceTopK(queries, emb, 5)
+    val approx = Ann.ivfTopK(queries, emb, 5, nlist = 16, nprobe = 8).cache()
+    val recall = Ann.recallAtK(exact, approx)
+    info(s"ivf recall@5 = $recall")
+    assert(recall >= 0.6, s"recall too low: $recall")
+    val bad = approx.groupBy("q_id")
+      .agg((count(lit(1)) =!= 5).as("badn")).filter(col("badn")).count()
+    assert(bad == 0)
+  }
+
+  test("IVF is deterministic across partitionings") {
+    val a = Ann.ivfTopK(queries.repartition(2), emb.repartition(3), 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Ann.ivfTopK(queries.repartition(7), emb.repartition(1), 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("LSH bucketing is deterministic across partitionings") {
     val a = Ann.lshTopK(queries.repartition(2), emb.repartition(3), 3, 64)
       .collect().map(_.toString).sorted.toSeq

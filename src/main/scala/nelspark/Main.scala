@@ -172,6 +172,12 @@ object Main {
       .queries("q_join_dim")(spark, "/root/testdata/sf0.001"))
     put("pairs (3-tier blocking: clique join + chain window)", pairs)
     put("scored (cascade + packed-vector sparse-dot joins)", scored)
+    put("q_skew_salted_join (salted equi-join: dim exploded x8, no straggler key)",
+      graft.SparkEntry.queries("q_skew_salted_join")(spark, "/root/testdata/sf0.001"))
+    put("q_dedup_ngram_jaccard (prefix-blocked n-gram jaccard self-join)",
+      graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, "/root/testdata/sf0.001"))
+    put("q_ann_ivf (IVF: broadcast centroid cross-join + cell-probe re-rank)",
+      graft.SparkEntry.queries("q_ann_ivf")(spark, "/root/testdata/sf0.001"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(s"[explain] wrote $outPath")
     spark.stop()

@@ -23,4 +23,27 @@ class SparkEntrySpec extends SparkSpec {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("representative queries are deterministic across shuffle widths") {
+    // covers each operator family whose output could plausibly depend on
+    // partitioning: iterative CC, custom-hash LSH/minhash, IVF (seeded
+    // centroids + windows), collect_set aggregation, salted join
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q_cc_sessions", "q_minhash_pairs", "q_ann_lsh",
+      "q_ann_ivf", "q_string_agg", "q_skew_salted_join", "q_tfidf")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[String]] = names.map { n =>
+      n -> graft.SparkEntry.queries(n)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val narrow = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val wide = runAll()
+      names.foreach { n =>
+        assert(narrow(n) == wide(n), s"$n differs across shuffle widths")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }

@@ -75,19 +75,28 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 8, iters: Int = 2,
       seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
 
+    // The centroid table is the coarse-quantizer MODEL: nlist×dim floats,
+    // kilobytes. It lives on the driver between Lloyd steps (same pattern
+    // as ranker weights, SURVEY.md §2 L2) — re-planting it as a literal
+    // DataFrame each step keeps every job's plan flat instead of nesting
+    // the previous step's lineage into 2^iters branches of one DAG.
+    def centDF(cent: Array[(Int, Array[Float])]): DataFrame =
+      broadcast(cent.toSeq.toDF("cell", "c_emb"))
+
     // deterministic init: nlist corpus vectors in xxhash64(id, seed) order
-    val w0 = Window.orderBy("hk", "n_id")
-    var cent: DataFrame = c
+    var cent: Array[(Int, Array[Float])] = c
       .withColumn("hk", xxhash64(col("n_id"), lit(seed)))
       .orderBy("hk", "n_id").limit(nlist)
-      .select((row_number().over(w0) - 1).cast("int").as("cell"),
-        col("n_emb").as("c_emb"))
+      .select("n_emb").as[Array[Float]].collect()
+      .zipWithIndex.map { case (e, i) => (i, e) }
 
     // nearest-cell assignment under the CURRENT centroid table
     def assign(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
+      val scored = df.crossJoin(centDF(cent))
         .withColumn("_sim", cosine_sim(col(embCol), col("c_emb")))
       val w = Window.partitionBy(idCol).orderBy(desc("_sim"), asc("cell"))
       scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
@@ -103,6 +112,7 @@ object Ann {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           x => x.getField("mv").cast("float")).as("c_emb"))
+        .as[(Int, Array[Float])].collect().sortBy(_._1)
     }
 
     val corpusCells = assign(c, "n_id", "n_emb")
@@ -110,7 +120,7 @@ object Ann {
     // query side: probe the nprobe nearest cells
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wq = Window.partitionBy("q_id").orderBy(desc("_sim"), asc("cell"))
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(centDF(cent))
       .withColumn("_sim", cosine_sim(col("q_emb"), col("c_emb")))
       .withColumn("_rn", row_number().over(wq)).filter(col("_rn") <= nprobe)
       .select("q_id", "q_emb", "cell")

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the real stdout UNPREFIXED: the default
+// LoggedOutput strategy prepends "[info] " to every line, which broke the
+// driver's parse of Bench's single JSON line in round 1 (BENCH_r01.json
+// "parsed": null). StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -69,6 +69,9 @@ object ExprHelpers {
     new GenericArrayData(Kernels.signLshBuckets(vec.toFloatArray(), tables, bits, seed))
   def minhashNgrams(s: UTF8String, n: Int, k: Int, seed: Long): ArrayData =
     new GenericArrayData(Kernels.minHashNgrams(s.toString, n, k, seed))
+  def nearestCells(vec: ArrayData, cent: Array[Array[Float]],
+      norms: Array[Double], nprobe: Int): ArrayData =
+    new GenericArrayData(Kernels.nearestCells(vec.toFloatArray(), cent, norms, nprobe))
 
   /** Merge-scan dot over parallel primitive arrays (h-sorted). */
   def sparseDotArrays(ha: ArrayData, wa: ArrayData,
@@ -325,6 +328,38 @@ case class SignLshBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
       c => s"nelspark.expr.ExprHelpers.signLsh($c, $tables, $bits, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "sign_lsh_buckets"
+}
+
+/**
+ * Indices of the `nprobe` nearest centroids (cosine; ties → lowest index)
+ * of an array<float> embedding against a driver-resident centroid matrix.
+ * The matrix is the IVF coarse-quantizer MODEL (nlist×dim floats,
+ * kilobytes) and rides into codegen as a referenced object — so
+ * assignment and query-probing are pure map-side work. Replaces the
+ * crossJoin(centroids) + row_number window plan that hash-shuffled
+ * |corpus|×nlist rows per Lloyd step.
+ */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  // centroid norms computed once (driver, at codegen/serialization time)
+  @transient private lazy val norms: Array[Double] =
+    centroids.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i).toDouble * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.nearestCells(v.asInstanceOf[ArrayData], centroids, norms, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val normRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"nelspark.expr.ExprHelpers.nearestCells($c, $centRef, $normRef, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_cells"
 }
 
 /** Character-set Jaccard (DuckDB `jaccard()` semantics). */

@@ -480,6 +480,53 @@ object Kernels {
     out
   }
 
+  /**
+   * Indices of the `nprobe` nearest centroids of `vec` by cosine
+   * similarity (ties → lowest index), against a caller-supplied centroid
+   * matrix with precomputed L2 norms. Per-row cost nlist×dim flops, zero
+   * shuffle — the map-side replacement for the crossJoin+window IVF
+   * assignment plan. Zero-norm vectors/centroids score 0.0 (cosineFloat
+   * semantics).
+   */
+  def nearestCells(vec: Array[Float], cent: Array[Array[Float]],
+      centNorms: Array[Double], nprobe: Int): Array[Int] = {
+    val m = cent.length
+    var nv = 0.0
+    var i = 0
+    while (i < vec.length) { nv += vec(i).toDouble * vec(i); i += 1 }
+    val vNorm = math.sqrt(nv)
+    val sims = new Array[Double](m)
+    var cIdx = 0
+    while (cIdx < m) {
+      val cv = cent(cIdx)
+      if (cv.length == vec.length && nv != 0.0 && centNorms(cIdx) != 0.0) {
+        var dot = 0.0
+        var d = 0
+        while (d < cv.length) { dot += vec(d).toDouble * cv(d); d += 1 }
+        sims(cIdx) = dot / (vNorm * centNorms(cIdx))
+      }
+      cIdx += 1
+    }
+    val k = math.min(nprobe, m)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](m)
+    var r = 0
+    while (r < k) {
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        // strict > keeps the lowest index on ties (≡ orderBy desc(sim), asc(cell))
+        if (!taken(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------ mention spans
 
   /** A detected mention span: [begin, end) char offsets into the text. */

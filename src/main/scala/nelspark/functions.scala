@@ -55,6 +55,11 @@ object functions {
   def sign_lsh_buckets(vec: Column, tables: Int, bits: Int, seed: Long): Column =
     c(SignLshBuckets(e(vec), tables, bits, seed))
 
+  /** Indices of the nprobe nearest centroids (cosine) against a
+    * driver-resident centroid matrix — map-side IVF assignment/probing. */
+  def nearest_cells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    c(NearestCells(e(vec), centroids, nprobe))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = c(HammingDist64(e(a), e(b)))
 

@@ -11,13 +11,23 @@ class AnnSpec extends SparkSpec {
     .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
   private lazy val queries = emb.filter(col("vec_id") < 20)
 
+  /** Exactly k rows for EVERY query — countDistinct over the query set,
+    * so a query returning zero rows fails instead of vanishing from the
+    * groupBy (ADVICE r1). */
+  private def assertKPerQuery(got: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+    val nQueries = queries.count()
+    assert(got.select(countDistinct("q_id")).head.getLong(0) == nQueries,
+      "some query is missing from the result entirely")
+    val bad = got.groupBy("q_id")
+      .agg((count(lit(1)) =!= k).as("badn")).filter(col("badn")).count()
+    assert(bad == 0)
+  }
+
   test("brute-force top-k: k rows per query, sims sorted, self excluded") {
     val got = Ann.bruteForceTopK(queries, emb, 5).cache()
     assert(got.count() == 20L * 5)
     assert(got.filter(col("q_id") === col("n_id")).count() == 0)
-    val bad = got.groupBy("q_id")
-      .agg((count(lit(1)) =!= 5).as("badn")).filter(col("badn")).count()
-    assert(bad == 0)
+    assertKPerQuery(got, 5)
   }
 
   test("LSH top-k reaches >=70% recall@5 vs exact") {
@@ -42,9 +52,7 @@ class AnnSpec extends SparkSpec {
     val recall = Ann.recallAtK(exact, approx)
     info(s"ivf recall@5 = $recall")
     assert(recall >= 0.6, s"recall too low: $recall")
-    val bad = approx.groupBy("q_id")
-      .agg((count(lit(1)) =!= 5).as("badn")).filter(col("badn")).count()
-    assert(bad == 0)
+    assertKPerQuery(approx, 5)
   }
 
   test("IVF is deterministic across partitionings") {

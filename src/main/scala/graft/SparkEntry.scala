@@ -347,23 +347,17 @@ object SparkEntry {
     }),
 
     // Dedup 3: SimHash fingerprints + banded hamming near-dup pairs
-    // (rows-only)
+    // (rows-only). Manku-consistent operating point: hamming <= 3 with
+    // 4 bands guarantees every qualifying pair a clean band (pigeonhole);
+    // degenerate band buckets are purged before the self-join
+    // (nelspark.dedup.SimHashDedup; exactness vs all-pairs gated in
+    // DedupSpec).
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
           simhash64(split(lower(col("text")), "\\s+")).as("sh"))
-      // block on 16-bit bands of the fingerprint, verify hamming <= 12
-      val banded = d.select(col("doc_id"), col("sh"), posexplode(array(
-        (0 until 4).map(i => shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*
-      )).as(Seq("band", "bv")))
-      val a = banded.withColumnsRenamed(Map("doc_id" -> "a_id", "sh" -> "a_sh"))
-      val b = banded.withColumnsRenamed(Map("doc_id" -> "b_id", "sh" -> "b_sh"))
-      a.join(b, Seq("band", "bv"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh").distinct()
-        .filter(hamming64(col("a_sh"), col("b_sh")) <= 12)
-        .select(col("a_id"), col("b_id"),
-          hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+      nelspark.dedup.SimHashDedup
+        .simhashPairs(d, "doc_id", "sh", maxHamming = 3)
         .orderBy("a_id", "b_id")
     }),
 
@@ -376,10 +370,13 @@ object SparkEntry {
     }),
 
     // Dedup 4: embedding-cosine near-dup pairs — EXACT all-pairs form as
-    // the oracle-checked correctness baseline (bounded table); the scale
-    // path is the LSH-bucketed variant below (q_ann_lsh / nelspark.ann.Ann)
+    // the oracle-checked correctness baseline; the scale path is the
+    // LSH-bucketed variant below (q_ann_lsh / nelspark.ann.Ann). The
+    // all-pairs input is HARD-CAPPED at vec_id < 2000 (mirrored in the
+    // oracle SQL) so the O(n²) baseline stays bounded if the driver ever
+    // raises sf — the pushed-down filter bounds it at ~2M pairs forever.
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       a.join(b, col("a_id") < col("b_id"))
@@ -958,7 +955,8 @@ object SparkEntry {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+        |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_skew_salted_join" ->

@@ -27,6 +27,72 @@ object Linker {
       saltBuckets: Int = 16)
 
   /**
+   * Candidate feature assembly (J1 → W2 → J3/L1): one row per surviving
+   * (mention, candidate) with the three ranking features. Shared by
+   * [[link]] (scoring) and [[Ranker.fit]] (L2 training).
+   *
+   * @return (mention_id, entity_id, p_prior, p_name, ctx_cos)
+   */
+  def candidateFeatures(mentions: DataFrame, pageTerms: DataFrame,
+      entityPrior: DataFrame, nameProb: DataFrame, entityTfidf: DataFrame,
+      topN: Int = 8, saltBuckets: Int = 16): DataFrame = {
+
+    // J1: candidate generation (salted: hot alias keys spread)
+    val cands = nelspark.ops.Skew.saltedJoin(
+      mentions.select("mention_id", "url", "name_norm"),
+      nameProb, "name_norm", "mention_id", saltBuckets)
+      .withColumnRenamed("p", "p_name")
+
+    // W2: top-N cutoff by P(e|name) before feature extraction
+    val topW = Window.partitionBy("mention_id")
+      .orderBy(desc("p_name"), asc("entity_id"))
+    val top = cands.withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= topN).drop("rk")
+
+    // features: prior + context cosine (sparse dot via term join-agg —
+    // entity vectors are L2-normalized; page weights normalized too)
+    val withPrior = top.join(entityPrior.withColumnRenamed("p", "p_prior"),
+      Seq("entity_id"), "left").na.fill(0.0, Seq("p_prior"))
+    val ctx = top.select("mention_id", "url", "entity_id")
+      .join(pageTerms, Seq("url"))
+      .join(entityTfidf.withColumnRenamed("w", "we"), Seq("entity_id", "term"))
+      .groupBy("mention_id", "entity_id")
+      .agg(sum(col("w") * col("we")).as("ctx_cos"))
+    withPrior
+      .join(ctx, Seq("mention_id", "entity_id"), "left")
+      .na.fill(0.0, Seq("ctx_cos"))
+  }
+
+  /**
+   * Feature computation for ARBITRARY (mention, entity) pairs — same
+   * three features as [[candidateFeatures]] but with the candidate set
+   * given by the caller instead of generated from the alias store. Used
+   * by [[Ranker.fit]] to featurize synthesized negative pairs honestly
+   * (p_name really is the nameProb lookup, 0.0 on miss; ctx_cos really
+   * is the context cosine).
+   *
+   * @param pairs (mention_id, url, name_norm, entity_id)
+   * @return (mention_id, entity_id, p_prior, p_name, ctx_cos)
+   */
+  def featurize(pairs: DataFrame, pageTerms: DataFrame, entityPrior: DataFrame,
+      nameProb: DataFrame, entityTfidf: DataFrame): DataFrame = {
+    val withName = pairs
+      .join(nameProb.withColumnRenamed("p", "p_name"),
+        Seq("name_norm", "entity_id"), "left").na.fill(0.0, Seq("p_name"))
+    val withPrior = withName
+      .join(entityPrior.withColumnRenamed("p", "p_prior"),
+        Seq("entity_id"), "left").na.fill(0.0, Seq("p_prior"))
+    val ctx = pairs.select("mention_id", "url", "entity_id")
+      .join(pageTerms, Seq("url"))
+      .join(entityTfidf.withColumnRenamed("w", "we"), Seq("entity_id", "term"))
+      .groupBy("mention_id", "entity_id")
+      .agg(sum(col("w") * col("we")).as("ctx_cos"))
+    withPrior.join(ctx, Seq("mention_id", "entity_id"), "left")
+      .na.fill(0.0, Seq("ctx_cos"))
+      .select("mention_id", "entity_id", "p_prior", "p_name", "ctx_cos")
+  }
+
+  /**
    * @param mentions    (mention_id, url, name_norm)
    * @param pageTerms   (url, term, w) page context vectors (unpacked)
    * @param aliases     (name_norm, entity_id, cnt)
@@ -39,30 +105,8 @@ object Linker {
       entityPrior: DataFrame, nameProb: DataFrame, entityTfidf: DataFrame,
       w: Weights = Weights()): DataFrame = {
 
-    // J1: candidate generation (salted: hot alias keys spread)
-    val cands = nelspark.ops.Skew.saltedJoin(
-      mentions.select("mention_id", "url", "name_norm"),
-      nameProb, "name_norm", "mention_id", w.saltBuckets)
-      .withColumnRenamed("p", "p_name")
-
-    // W2: top-N cutoff by P(e|name) before feature extraction
-    val topW = Window.partitionBy("mention_id")
-      .orderBy(desc("p_name"), asc("entity_id"))
-    val top = cands.withColumn("rk", row_number().over(topW))
-      .filter(col("rk") <= w.topN).drop("rk")
-
-    // features: prior + context cosine (sparse dot via term join-agg —
-    // entity vectors are L2-normalized; page weights normalized too)
-    val withPrior = top.join(entityPrior.withColumnRenamed("p", "p_prior"),
-      Seq("entity_id"), "left").na.fill(0.0, Seq("p_prior"))
-    val ctx = top.select("mention_id", "url", "entity_id")
-      .join(pageTerms, Seq("url"))
-      .join(entityTfidf.withColumnRenamed("w", "we"), Seq("entity_id", "term"))
-      .groupBy("mention_id", "entity_id")
-      .agg(sum(col("w") * col("we")).as("ctx_cos"))
-    val feats = withPrior
-      .join(ctx, Seq("mention_id", "entity_id"), "left")
-      .na.fill(0.0, Seq("ctx_cos"))
+    val feats = candidateFeatures(mentions, pageTerms, entityPrior, nameProb,
+      entityTfidf, w.topN, w.saltBuckets)
       .withColumn("score",
         lit(w.prior) * col("p_prior") + lit(w.nameProb) * col("p_name") +
           lit(w.ctx) * col("ctx_cos"))

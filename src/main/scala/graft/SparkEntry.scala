@@ -398,6 +398,18 @@ object SparkEntry {
         .orderBy("q_id", "rn")
     }),
 
+    // SRC2/SRC3: CoNLL-style gold-corpus TSV reader — windowed
+    // doc-boundary regroup + B/I mention reassembly (nelspark.sources
+    // .Conll). The TSV fixture is derived deterministically from the
+    // sf0.001 documents table (byte-stable across sf levels, so the
+    // static oracle SQL reads one canonical file) and written
+    // idempotently before parsing; DuckDB parses the SAME file.
+    "q_conll_parse" -> ((s, dir) => {
+      val path = nelspark.sources.Conll.ensureFixture(s,
+        "/root/testdata/sf0.001/documents.parquet", "/tmp/graft_conll.tsv", 100)
+      nelspark.sources.Conll.mentions(s, path).orderBy("doc_idx", "begin_tok")
+    }),
+
     // P2-P4: mention detection + normalization over documents (custom
     // detector — rows-only). The synthetic docs are all-lowercase, so a
     // fixed word set is deterministically proper-cased first to give the
@@ -950,6 +962,26 @@ object SparkEntry {
       """SELECT p_partkey,
         |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS name_norm
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_conll_parse" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv('/tmp/graft_conll.tsv', delim='\t', header=false, quote='',
+        |    columns={'line_no':'BIGINT','token':'VARCHAR','ner':'VARCHAR'})
+        |), docd AS (
+        |  SELECT *, CAST(sum(CASE WHEN token='-DOCSTART-' THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY line_no) AS BIGINT) AS doc_idx FROM raw
+        |), toks AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_idx ORDER BY line_no) - 1 AS tok_pos
+        |  FROM docd WHERE token <> '-DOCSTART-'
+        |), isl AS (
+        |  SELECT *, sum(CASE WHEN ner='B-ENT' THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY line_no) AS mid FROM toks
+        |)
+        |SELECT doc_idx, min(tok_pos) AS begin_tok, max(tok_pos)+1 AS end_tok,
+        |  string_agg(token, ' ' ORDER BY line_no) AS name
+        |FROM isl WHERE ner <> 'O'
+        |GROUP BY doc_idx, mid
+        |ORDER BY doc_idx, begin_tok""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -1,0 +1,56 @@
+package nelspark
+
+import nelspark.sources.Conll
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SRC2/SRC3: CoNLL TSV reader — doc-boundary regroup + B/I mention
+  * reassembly, pinned on a handcrafted file, plus fixture idempotence. */
+class ConllSpec extends SparkSpec {
+
+  test("handcrafted TSV parses to the expected docs and mentions") {
+    val tsv =
+      """0	-DOCSTART-	O
+        |1	Alice	B-ENT
+        |2	Smith	I-ENT
+        |3	works	O
+        |4	at	O
+        |5	Acme	B-ENT
+        |6	-DOCSTART-	O
+        |7	hello	O
+        |8	Bob	B-ENT
+        |""".stripMargin
+    val f = Files.createTempFile("conll_spec", ".tsv")
+    Files.writeString(f, tsv)
+
+    val toks = Conll.tokens(spark, f.toString)
+    assert(toks.count() == 7) // boundary rows dropped
+    assert(toks.filter(col("doc_idx") === 1).count() == 5)
+    assert(toks.filter(col("doc_idx") === 2).count() == 2)
+    // tok_pos restarts per doc
+    assert(toks.filter(col("doc_idx") === 2 && col("token") === "Bob")
+      .head.getAs[Long]("tok_pos") == 1L)
+
+    val ms = Conll.mentions(spark, f.toString)
+      .orderBy("doc_idx", "begin_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(ms.toSeq == Seq(
+      (1L, 0L, 2L, "Alice Smith"),
+      (1L, 4L, 5L, "Acme"),
+      (2L, 1L, 2L, "Bob")))
+  }
+
+  test("fixture generation is idempotent and parses to >0 mentions") {
+    val p = "/tmp/conll_spec_fixture.tsv"
+    Conll.ensureFixture(spark, "/root/testdata/sf0.001/documents.parquet", p, 20)
+    val bytes1 = Files.readAllBytes(java.nio.file.Paths.get(p))
+    Conll.ensureFixture(spark, "/root/testdata/sf0.001/documents.parquet", p, 20)
+    val bytes2 = Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(java.util.Arrays.equals(bytes1, bytes2), "fixture not byte-stable")
+    val ms = Conll.mentions(spark, p)
+    assert(ms.count() > 0)
+    // every doc index present in tokens is within [1, nDocs]
+    val docs = Conll.tokens(spark, p).select(countDistinct("doc_idx")).head.getLong(0)
+    assert(docs == 20L)
+  }
+}

@@ -614,23 +614,54 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // Multimodal plumbing: opaque binary payloads decoded partition-wise
-    // (MediaOps.decodeMeta — one decoder context per partition, STUB
-    // byte-decode). Oracle covers the byte-level facts (counts, payload
-    // sizes), which are engine-independent; stub-derived width/height are
-    // exercised in the rows-only q_media_frames below.
+    // Multimodal plumbing: binary payloads decoded partition-wise
+    // (MediaOps.decodeMeta — one decoder context per partition). The
+    // query is a REAL parse round-trip: each row synthesizes a genuine
+    // PNG/JPEG/WAV header with dimensions/sample-rate embedded as a
+    // closed form of doc_id, the pure-JVM header parsers read them back
+    // out of the bytes, and the oracle checks the sums against the same
+    // closed form — so width/height/sample_rate are value-verified, not
+    // stubbed (only full frame decode remains stubbed, exercised in the
+    // rows-only q_media_frames below).
     "q_media_meta" -> ((s, dir) => {
-      val media = t(s, dir, "documents")
-        .select(col("doc_id").as("media_id"),
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "video")
-            .otherwise("audio").as("kind"),
-          to_binary(col("text"), lit("utf-8")).as("payload"))
+      // big-endian binary of the low `hexDigits/2` bytes of an int column
+      def be(c: Column, hexDigits: Int): Column =
+        to_binary(lpad(hex(c), hexDigits, "0"), lit("hex"))
+      val pngW = col("doc_id") % 640 + 16; val pngH = col("doc_id") % 480 + 16
+      val jpgW = col("doc_id") % 320 + 16; val jpgH = col("doc_id") % 240 + 16
+      val sr = (col("doc_id") % 5 + 1) * 8000
+      val pngPayload = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+          0, 0, 0, 0x0D, 'I', 'H', 'D', 'R')),
+        be(pngW, 8), be(pngH, 8),
+        lit(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0)))
+      val jpgPayload = concat(
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte,
+          0x00, 0x11, 0x08)),
+        be(jpgH, 4), be(jpgW, 4),
+        lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
+      val wavPayload = concat(
+        lit("RIFF".getBytes("UTF-8")), lit(Array[Byte](0, 0, 0, 0)),
+        lit("WAVEfmt ".getBytes("UTF-8")),
+        lit(Array[Byte](16, 0, 0, 0, 1, 0, 1, 0)),
+        // u32 little-endian sample rate, one byte at a time
+        be(sr % 256, 2), be((sr / 256) % 256, 2),
+        be((sr / 65536) % 256, 2), be(sr / 16777216, 2),
+        lit(Array[Byte](0, 0, 0, 0, 2, 0, 16, 0)))
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 2, "audio").otherwise("image").as("kind"),
+        when(col("doc_id") % 3 === 0, pngPayload)
+          .when(col("doc_id") % 3 === 1, jpgPayload)
+          .otherwise(wavPayload).as("payload"))
       nelspark.media.MediaOps.decodeMeta(media).toDF()
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
-          min("media_id").as("min_id"))
-        .orderBy("kind")
+        .withColumn("fmt", when(col("media_id") % 3 === 0, "png")
+          .when(col("media_id") % 3 === 1, "jpeg").otherwise("wav"))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum("width").as("sum_w"), sum("height").as("sum_h"),
+          sum("sample_rate").as("sum_sr"), sum("n_bytes").as("total_bytes"))
+        .orderBy("fmt")
     }),
 
     // Multimodal: deterministic frame-sampling plan over decoded video
@@ -1044,12 +1075,18 @@ object SparkEntry {
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // parse round-trip oracle: the Spark side embeds these closed forms
+    // into REAL PNG/JPEG/WAV headers and parses them back out of the
+    // bytes; payload sizes are the fixed header lengths (33/21/36)
     "q_media_meta" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
-        |    ELSE 'audio' END AS kind,
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
         |  count(*) AS n,
-        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-        |  min(doc_id) AS min_id
+        |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN doc_id % 640 + 16
+        |           WHEN 1 THEN doc_id % 320 + 16 ELSE 0 END) AS BIGINT) AS sum_w,
+        |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN doc_id % 480 + 16
+        |           WHEN 1 THEN doc_id % 240 + 16 ELSE 0 END) AS BIGINT) AS sum_h,
+        |  CAST(sum(CASE doc_id % 3 WHEN 2 THEN (doc_id % 5 + 1) * 8000 ELSE 0 END) AS BIGINT) AS sum_sr,
+        |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 36 END) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     // q_minhash_pairs / q_simhash_pairs / q_fingerprint / q_er_doc_clusters /
     // q_ann_lsh / q_ann_ivf / q_mentions / q_coref_chains /

@@ -23,6 +23,53 @@ case class MediaFeatures(media_id: Long, features: Array[Float])
  */
 object MediaOps {
 
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  // ------------------------- REAL header parsers (pure JVM, no libs) --
+
+  /** PNG width/height from the IHDR chunk (always the first chunk:
+    * 8-byte signature, 4-byte length, "IHDR", then width/height as
+    * big-endian u32 — PNG spec §5.2/§11.2.2). */
+  def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG width/height from the first SOFn segment: walk the marker
+    * stream from SOI; SOFn (0xC0-0xCF except C4/C8/CC) carries
+    * precision(1), height(u16 BE), width(u16 BE) — JPEG/JFIF B.2.2. */
+  def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 9 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker >= 0xD0 && marker <= 0xD9) i += 2 // standalone (RSTn/SOI/EOI)
+      else if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+        return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)
+      else i += 2 + be16(b, i + 2) // segment length includes its own 2 bytes
+    }
+    None
+  }
+
+  /** WAV sample rate from the canonical RIFF/WAVE fmt chunk (u32 LE at
+    * byte 24 when "fmt " directly follows "WAVE" — RIFF spec). */
+  def parseWavRate(b: Array[Byte]): Option[Int] =
+    if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
+      Some(le32(b, 24))
+    else None
+
   /** STUB DECODER — replace with a real binding (e.g. libvips/ffmpeg via
     * JNI) in production. Deterministic in the input bytes. */
   private[media] def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) = {
@@ -42,6 +89,11 @@ object MediaOps {
    * payload binary). One decoder context per partition (the `it =>` scope)
    * — the shape a native decoder requires; per-row lambda UDFs would
    * re-init per value and break batch locality.
+   *
+   * Payloads with a real PNG/JPEG/WAV header are parsed for real
+   * (pure-JVM byte parsing — width/height/sample_rate are exact and
+   * oracle-checkable); anything else falls back to the deterministic
+   * stub (full frame decode needs native libs this container lacks).
    */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
@@ -51,8 +103,17 @@ object MediaOps {
       .mapPartitions { it =>
         // real impl: val decoder = NativeDecoder.open() ... it.map{..}.closing(decoder)
         it.map { case (id, kind, bytes) =>
-          val (w, h, nf, sr) = decodeStub(kind, bytes)
-          MediaMeta(id, kind, bytes.length.toLong, w, h, nf, sr)
+          val parsed =
+            parsePng(bytes).map { case (w, h) =>
+              MediaMeta(id, kind, bytes.length.toLong, w, h, 1, 0) }
+            .orElse(parseJpeg(bytes).map { case (w, h) =>
+              MediaMeta(id, kind, bytes.length.toLong, w, h, 1, 0) })
+            .orElse(parseWavRate(bytes).map { sr =>
+              MediaMeta(id, kind, bytes.length.toLong, 0, 0, 0, sr) })
+          parsed.getOrElse {
+            val (w, h, nf, sr) = decodeStub(kind, bytes)
+            MediaMeta(id, kind, bytes.length.toLong, w, h, nf, sr)
+          }
         }
       }
   }

@@ -119,6 +119,30 @@ object Main {
         .select("cluster_id").distinct().count(): Unit
     }
 
+    // Task/shuffle decomposition listener: executor task-time vs wall
+    // separates plan-attributable loss from single-box memory contention,
+    // and the shuffle volume + fetch-wait share is the EXECUTOR-TRANSFER
+    // evidence — on a real N→4N scale-out the local memory-contention
+    // term vanishes and cross-executor shuffle transfer is the term that
+    // replaces it, so its measured size bounds that cost.
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val shWriteB = new java.util.concurrent.atomic.AtomicLong
+    val shReadB = new java.util.concurrent.atomic.AtomicLong
+    val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskNanos.addAndGet(m.executorRunTime * 1000000L)
+          gcMs.addAndGet(m.jvmGCTime)
+          shWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        }
+      }
+    })
+
     // FUSED timed section: blocking → scoring → clustering as one linear
     // DAG with no mid-pipeline cache/count barriers (each barrier both
     // serializes the run and double-buffers 16M-row intermediates).
@@ -132,7 +156,11 @@ object Main {
     val wall = (System.nanoTime() - t0) / 1e9
     val json = f"""{"bench":"er_scaling","cores":$cores,"pages":$nPages,""" +
       f""""clusters":$nClusters,""" +
-      f""""wall_s":$wall%.2f,"docs_per_sec":${nPages / wall}%.1f}"""
+      f""""wall_s":$wall%.2f,"docs_per_sec":${nPages / wall}%.1f,""" +
+      f""""task_s":${taskNanos.get / 1e9}%.1f,"gc_s":${gcMs.get / 1e3}%.1f,""" +
+      f""""shuffle_write_mb":${shWriteB.get / 1048576.0}%.1f,""" +
+      f""""shuffle_read_mb":${shReadB.get / 1048576.0}%.1f,""" +
+      f""""fetch_wait_s":${fetchWaitMs.get / 1e3}%.1f}"""
     println(json)
     val p = java.nio.file.Paths.get(outPath)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -176,8 +204,10 @@ object Main {
       graft.SparkEntry.queries("q_skew_salted_join")(spark, "/root/testdata/sf0.001"))
     put("q_dedup_ngram_jaccard (prefix-blocked n-gram jaccard self-join)",
       graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, "/root/testdata/sf0.001"))
-    put("q_ann_ivf (IVF: broadcast centroid cross-join + cell-probe re-rank)",
+    put("q_ann_ivf (IVF: map-side NearestCells assign — corpus never shuffled; broadcast probe re-rank)",
       graft.SparkEntry.queries("q_ann_ivf")(spark, "/root/testdata/sf0.001"))
+    put("q_simhash_pairs (Manku-banded simhash: bucket purge anti-join + band self-join)",
+      graft.SparkEntry.queries("q_simhash_pairs")(spark, "/root/testdata/sf0.001"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(s"[explain] wrote $outPath")
     spark.stop()

@@ -8,7 +8,16 @@ OUT="${1:-BENCH_scaling.json}"
 export SPARK_DRIVER_MEM=16g
 for lvl in 32 4 1 4; do
   echo "[scaling] level=$lvl $(date -u +%H:%M:%S)"
-  sbt -batch "runMain nelspark.Main bench 4000000 $lvl $OUT" 2>&1 \
-    | grep -E '^\{' || true
+  # capture the level's output; a crashed level must ABORT the protocol
+  # (a silently skipped level breaks the interleaved pairing), so check
+  # sbt's exit status before grepping the JSON line out
+  log="$(mktemp)"
+  if ! sbt -batch "runMain nelspark.Main bench 4000000 $lvl $OUT" >"$log" 2>&1; then
+    echo "[scaling] LEVEL $lvl FAILED — aborting protocol" >&2
+    tail -30 "$log" >&2
+    exit 1
+  fi
+  grep -E '^\{' "$log" || true
+  rm -f "$log"
 done
 echo "[scaling] done $(date -u +%H:%M:%S)"

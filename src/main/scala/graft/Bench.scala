@@ -12,12 +12,7 @@ object Bench {
     // entirely on whichever query the Map ordering puts first (~8s skew)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = nelspark.util.Json.str(s)
     // A failed query must be VISIBLE in the JSON (round-1 advice: the old
     // catch swallowed exceptions into a -1s timing that read as "fast").
     val results = SparkEntry.queries.map { case (name, fn) =>

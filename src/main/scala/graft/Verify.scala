@@ -30,15 +30,7 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = nelspark.util.Json.str(s)
     // Round-1 postmortem: the driver keys its CORRECTNESS report by output
     // FILENAME ("q_x.parquet") while this file was keyed by bare query name
     // ("q_x"), so every lookup missed and all 53 queries scored "no_oracle"

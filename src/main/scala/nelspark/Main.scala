@@ -154,6 +154,9 @@ object Main {
     val assign = Cluster.connectedComponents(edges, mentions.select("mention_id"), cfg)
     val nClusters = assign.select("cluster_id").distinct().count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // listener events arrive on an async bus — drain it before reading
+    // the totals or the tail task wave is silently missing from task_s
+    org.apache.spark.sql.NelShim.waitForListenerBus(spark)
     val json = f"""{"bench":"er_scaling","cores":$cores,"pages":$nPages,""" +
       f""""clusters":$nClusters,""" +
       f""""wall_s":$wall%.2f,"docs_per_sec":${nPages / wall}%.1f,""" +

@@ -512,12 +512,19 @@ object Kernels {
     val taken = new Array[Boolean](m)
     var r = 0
     while (r < k) {
-      var best = 0
+      // NaN sims (NaN input components) sort below everything: they
+      // never beat a number and seed bestSim as -inf, so the output is
+      // always k DISTINCT indices — never a repeated cell
+      var best = -1
       var bestSim = Double.NegativeInfinity
       var j = 0
       while (j < m) {
-        // strict > keeps the lowest index on ties (≡ orderBy desc(sim), asc(cell))
-        if (!taken(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
+        if (!taken(j)) {
+          val s = sims(j)
+          // strict > keeps the lowest index on ties (≡ desc(sim), asc(cell))
+          if (best == -1) { best = j; if (!s.isNaN) bestSim = s }
+          else if (s > bestSim) { best = j; bestSim = s }
+        }
         j += 1
       }
       taken(best) = true

@@ -52,7 +52,11 @@ object MediaOps {
     while (i + 9 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return None
       val marker = b(i + 1) & 0xFF
-      if (marker >= 0xD0 && marker <= 0xD9) i += 2 // standalone (RSTn/SOI/EOI)
+      // EOI with no SOF seen → no dimensions; SOS → entropy-coded data
+      // follows (0xFF bytes inside it are not markers) and SOFn must
+      // precede SOS, so stop rather than misparse trailing bytes
+      if (marker == 0xD9 || marker == 0xDA) return None
+      else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2 // standalone
       else if (marker >= 0xC0 && marker <= 0xCF &&
           marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
         return Some((be16(b, i + 7), be16(b, i + 5))) // (width, height)

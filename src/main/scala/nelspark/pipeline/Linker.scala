@@ -26,6 +26,18 @@ object Linker {
       ctx: Double = 0.4, tauNil: Double = 0.15, topN: Int = 8,
       saltBuckets: Int = 16)
 
+  /** Context cosine for (mention, entity) pairs: page terms × entity
+    * tf-idf sparse dot (both sides L2-normalized upstream). ONE
+    * definition shared by candidateFeatures and featurize — a drift
+    * between the two would silently skew Ranker.fit's negatives. */
+  private def ctxCosine(pairs: DataFrame, pageTerms: DataFrame,
+      entityTfidf: DataFrame): DataFrame =
+    pairs.select("mention_id", "url", "entity_id")
+      .join(pageTerms, Seq("url"))
+      .join(entityTfidf.withColumnRenamed("w", "we"), Seq("entity_id", "term"))
+      .groupBy("mention_id", "entity_id")
+      .agg(sum(col("w") * col("we")).as("ctx_cos"))
+
   /**
    * Candidate feature assembly (J1 → W2 → J3/L1): one row per surviving
    * (mention, candidate) with the three ranking features. Shared by
@@ -53,13 +65,9 @@ object Linker {
     // entity vectors are L2-normalized; page weights normalized too)
     val withPrior = top.join(entityPrior.withColumnRenamed("p", "p_prior"),
       Seq("entity_id"), "left").na.fill(0.0, Seq("p_prior"))
-    val ctx = top.select("mention_id", "url", "entity_id")
-      .join(pageTerms, Seq("url"))
-      .join(entityTfidf.withColumnRenamed("w", "we"), Seq("entity_id", "term"))
-      .groupBy("mention_id", "entity_id")
-      .agg(sum(col("w") * col("we")).as("ctx_cos"))
     withPrior
-      .join(ctx, Seq("mention_id", "entity_id"), "left")
+      .join(ctxCosine(top, pageTerms, entityTfidf),
+        Seq("mention_id", "entity_id"), "left")
       .na.fill(0.0, Seq("ctx_cos"))
   }
 
@@ -82,12 +90,8 @@ object Linker {
     val withPrior = withName
       .join(entityPrior.withColumnRenamed("p", "p_prior"),
         Seq("entity_id"), "left").na.fill(0.0, Seq("p_prior"))
-    val ctx = pairs.select("mention_id", "url", "entity_id")
-      .join(pageTerms, Seq("url"))
-      .join(entityTfidf.withColumnRenamed("w", "we"), Seq("entity_id", "term"))
-      .groupBy("mention_id", "entity_id")
-      .agg(sum(col("w") * col("we")).as("ctx_cos"))
-    withPrior.join(ctx, Seq("mention_id", "entity_id"), "left")
+    withPrior.join(ctxCosine(pairs, pageTerms, entityTfidf),
+        Seq("mention_id", "entity_id"), "left")
       .na.fill(0.0, Seq("ctx_cos"))
       .select("mention_id", "entity_id", "p_prior", "p_name", "ctx_cos")
   }

@@ -34,7 +34,15 @@ object LinkService {
       nameProb: Map[String, Array[(Long, Double)]],
       prior: Map[Long, Double],
       tfidf: Map[Long, Map[String, Double]],
+      termDf: Map[String, Long],
+      nDocs: Long,
       w: Linker.Weights) {
+
+    // same weighting the batch page vectors use: tf·(log((N+1)/(df+1))+1)
+    // when a term_df table was provided, raw tf otherwise
+    private def termWeight(t: String, tf: Double): Double =
+      if (termDf.isEmpty) tf
+      else tf * (math.log((nDocs + 1.0) / (termDf.getOrElse(t, 0L) + 1.0)) + 1.0)
 
     /** Same feature/score shape as Linker.link, one mention at a time:
       * candidates from the alias store, prior + P(e|name) + context
@@ -44,9 +52,11 @@ object LinkService {
       val nameNorm = Kernels.normalizeName(name)
       val cands = nameProb.getOrElse(nameNorm, Array.empty[(Long, Double)])
       if (cands.isEmpty) return Resolution(name, nameNorm, None, 0.0, isNil = true)
-      // L2-normalized term-frequency context vector of the request doc
+      // L2-normalized context vector of the request doc (tf-idf when a
+      // term_df table is loaded — the batch page-vector weighting)
       val tf = contextText.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .groupBy(identity).map { case (t, xs) => t -> xs.length.toDouble }
+        .groupBy(identity).map { case (t, xs) =>
+          t -> termWeight(t, xs.length.toDouble) }
       val nrm = math.sqrt(tf.values.map(x => x * x).sum)
       val best = cands
         .map { case (ent, pName) =>
@@ -65,37 +75,42 @@ object LinkService {
     }
   }
 
-  /** Collect the model tables into a serving model (bounded collects). */
+  /** Collect the model tables into a serving model. The size guard and
+    * the fetch are ONE job per table (limit(max+1) + length check — a
+    * count()-then-collect would execute every upstream plan twice).
+    * Pass `termDf` (+ `nDocs`) to score request contexts with the same
+    * tf-idf weighting the batch page vectors use; without it the
+    * context vector is raw normalized tf (idf then lives only in the
+    * entity vectors). */
   def buildModel(nameProb: DataFrame, entityPrior: DataFrame,
       entityTfidf: DataFrame, w: Linker.Weights = Linker.Weights(),
+      termDf: Option[DataFrame] = None, nDocs: Long = 0L,
       maxRows: Long = 5000000L): LinkModel = {
-    def guard(df: DataFrame, what: String): DataFrame = {
-      val n = df.count()
-      require(n <= maxRows,
-        s"$what has $n rows > maxRows=$maxRows — not a serving-size table")
-      df
+    def fetch(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+      val rows = df.limit((maxRows + 1).toInt).collect()
+      require(rows.length <= maxRows,
+        s"$what exceeds maxRows=$maxRows — not a serving-size table")
+      rows
     }
-    val np = guard(nameProb, "name_prob").collect()
+    val np = fetch(nameProb, "name_prob")
       .map(r => (r.getAs[String]("name_norm"), r.getAs[Long]("entity_id"),
         r.getAs[Double]("p")))
       .groupBy(_._1).map { case (k, xs) =>
         k -> xs.map(x => (x._2, x._3)).sortBy(x => (-x._2, x._1)) }
-    val pr = guard(entityPrior, "entity_prior").collect()
+    val pr = fetch(entityPrior, "entity_prior")
       .map(r => r.getAs[Long]("entity_id") -> r.getAs[Double]("p")).toMap
-    val tf = guard(entityTfidf, "entity_tfidf").collect()
+    val tf = fetch(entityTfidf, "entity_tfidf")
       .map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("term"),
         r.getAs[Double]("w")))
       .groupBy(_._1).map { case (k, xs) =>
         k -> xs.map(x => (x._2, x._3)).toMap }
-    new LinkModel(np, pr, tf, w)
+    val dfMap = termDf.map(fetch(_, "term_df")
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap)
+      .getOrElse(Map.empty[String, Long])
+    new LinkModel(np, pr, tf, dfMap, nDocs, w)
   }
 
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case '\r' => "\\r"; case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jstr(s: String): String = nelspark.util.Json.str(s)
 
   /**
    * Start the HTTP service on `port` (0 = ephemeral; read the bound
@@ -114,29 +129,33 @@ object LinkService {
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
     }
-    def params(ex: HttpExchange): Map[String, String] = {
+    // None = undecodable query string (malformed percent-escapes) → 400,
+    // not an exception escaping the handler (which would drop the
+    // connection with no response at all)
+    def params(ex: HttpExchange): Option[Map[String, String]] = try {
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      q.split("&").filter(_.contains("=")).map { kv =>
+      Some(q.split("&").filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         java.net.URLDecoder.decode(k, "UTF-8") ->
           java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
-    }
+      }.toMap)
+    } catch { case _: IllegalArgumentException => None }
     server.createContext("/health", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         respond(ex, 200, """{"status":"ok"}""")
     })
     server.createContext("/link", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val p = params(ex)
-        p.get("name") match {
+      override def handle(ex: HttpExchange): Unit = params(ex) match {
+        case None =>
+          respond(ex, 400, """{"error":"malformed query string"}""")
+        case Some(p) => p.get("name") match {
           case None => respond(ex, 400, """{"error":"missing name param"}""")
           case Some(name) =>
             val r = model.link(name, p.getOrElse("text", ""))
             val ent = r.entityId.map(_.toString).getOrElse("null")
             respond(ex, 200,
               s"""{"name":${jstr(r.name)},"name_norm":${jstr(r.nameNorm)},""" +
-                f""""entity_id":$ent,"score":${r.score}%.6f,"is_nil":${r.isNil}}""")
+                s""""entity_id":$ent,"score":${nelspark.util.Json.num(r.score)},"is_nil":${r.isNil}}""")
         }
       }
     })

@@ -18,4 +18,10 @@ object NelShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Drain the async listener event bus (`private[spark]`): listener
+    * totals read right after an action would otherwise miss queued
+    * tail SparkListenerTaskEnd events. */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

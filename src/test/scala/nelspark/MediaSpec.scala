@@ -52,6 +52,30 @@ class MediaSpec extends SparkSpec {
     assert(MediaOps.parseJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)) == None)
   }
 
+  test("JPEG walk stops at EOI and SOS instead of misparsing trailing bytes") {
+    // SOI + EOI followed by SOF-looking garbage: no dimensions before
+    // end-of-image -> None, not garbage w/h
+    val eoiThenGarbage = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte,
+      0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08, 0x01, 0x00, 0x02, 0x00)
+    assert(MediaOps.parseJpeg(eoiThenGarbage) == None)
+    // SOS before any SOF: entropy data follows, stop scanning
+    val sosFirst = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xDA.toByte, 0x00, 0x04, 0x01, 0x00,
+      0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08, 0x01, 0x00, 0x02, 0x00)
+    assert(MediaOps.parseJpeg(sosFirst) == None)
+  }
+
+  test("nearestCells kernel never returns duplicate cells, even on NaN input") {
+    import nelspark.expr.Kernels
+    val cent = Array(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f))
+    val norms = cent.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val ok = Kernels.nearestCells(Array(0.9f, 0.1f), cent, norms, 3)
+    assert(ok.toSeq == Seq(0, 1, 2))
+    val nan = Kernels.nearestCells(Array(Float.NaN, 1f), cent, norms, 3)
+    assert(nan.toSeq.distinct.size == 3, s"duplicate cells: ${nan.toSeq}")
+  }
+
   test("WAV fmt-chunk sample rate parse") {
     assert(MediaOps.parseWavRate(wav(44100)) == Some(44100))
     assert(MediaOps.parseWavRate(wav(8000)) == Some(8000))

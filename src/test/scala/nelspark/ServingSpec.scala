@@ -52,7 +52,35 @@ class ServingSpec extends SparkSpec {
       val nilResp = get("/link?name=Nobody+Knows&text=x")
       assert(nilResp.contains("\"is_nil\":true"), nilResp)
       assert(get("/link").contains("error"))
+      // malformed percent-encoding -> 400 JSON, not a dropped connection.
+      // HttpClient refuses to even build the URI, so speak raw HTTP
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /link?name=%zz HTTP/1.1\r\nHost: h\r\n" +
+          "Connection: close\r\n\r\n").getBytes("UTF-8"))
+        out.flush()
+        val raw = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        // the JDK server pre-validates the URI and 400s it before the
+        // handler runs; the handler's own decode guard covers anything
+        // that gets past that. Either way: a 400 RESPONSE, not a drop.
+        assert(raw.startsWith("HTTP/1.1 400"), raw.take(120))
+      } finally sock.close()
     } finally server.stop(0)
+  }
+
+  test("termDf-weighted context matches the batch tf-idf page weighting") {
+    val nameProb = Seq(("x", 1L, 0.5), ("x", 2L, 0.5)).toDF("name_norm", "entity_id", "p")
+    val prior = Seq((1L, 0.5), (2L, 0.5)).toDF("entity_id", "p")
+    val tfidf = Seq((1L, "rare", 1.0), (2L, "common", 1.0)).toDF("entity_id", "term", "w")
+    val termDf = Seq(("rare", 1L), ("common", 90L)).toDF("term", "df")
+    val m = LinkService.buildModel(nameProb, prior, tfidf,
+      Linker.Weights(prior = 0.0, nameProb = 0.0, ctx = 1.0, tauNil = 0.0),
+      termDf = Some(termDf), nDocs = 100L)
+    // both terms appear once; idf makes "rare" dominate the context
+    // vector, so entity 1 wins despite equal name prob and prior
+    val r = m.link("X", "rare common")
+    assert(r.entityId.contains(1L), r.toString)
   }
 
   test("buildModel refuses corpus-scale tables") {

@@ -50,6 +50,33 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // A-extra: exact interpolated percentiles per group (Spark
+    // `percentile` ≡ DuckDB `quantile_cont`: both lo + (hi-lo)*frac).
+    // l_quantity is integer-valued so interpolants are tame doubles.
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"),
+          max("l_quantity").as("qmax"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A-extra: dispersion statistics per group (sample stddev/variance,
+    // Pearson correlation) — rounded to 6dp on both engines; the
+    // aggregation algorithms are numerically stable one-pass on both.
+    "q_stats_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp("value"), 6).as("sd_value"),
+          round(var_samp("value"), 6).as("var_value"),
+          round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // A1: per-key counts normalized by global total (prior P(e))
     "q_prior" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -410,6 +437,19 @@ object SparkEntry {
       nelspark.sources.Conll.mentions(s, path).orderBy("doc_idx", "begin_tok")
     }),
 
+    // SRC3: TAC-KBP corpus reader — native XML queries scan + gold-links
+    // TSV + source-doc join (nelspark.sources.Tac). Fixture derived
+    // deterministically from the sf0.001 documents table; the oracle
+    // reads a field-by-field TSV twin of the XML (so any Spark XML parse
+    // infidelity mismatches), the SAME links TSV, and the SAME parquet.
+    "q_tac_parse" -> ((s, dir) => {
+      val docsPq = "/root/testdata/sf0.001/documents.parquet"
+      val (xml, links, _) =
+        nelspark.sources.Tac.ensureFixture(s, docsPq, "/tmp/graft_tac", 50)
+      nelspark.sources.Tac.corpus(s, xml, links, docsPq)
+        .orderBy("query_id")
+    }),
+
     // P2-P4: mention detection + normalization over documents (custom
     // detector — rows-only). The synthetic docs are all-lowercase, so a
     // fixed word set is deterministically proper-cased first to give the
@@ -762,6 +802,21 @@ object SparkEntry {
         |avg(l_quantity) AS avg_qty, count(*) AS n
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(var_samp(value), 6) AS var_value,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_prior" ->
       """SELECT o_custkey, count(*) AS cnt,
         |count(*) / (SELECT count(*) FROM orders) AS p
@@ -1013,6 +1068,25 @@ object SparkEntry {
         |FROM isl WHERE ner <> 'O'
         |GROUP BY doc_idx, mid
         |ORDER BY doc_idx, begin_tok""".stripMargin,
+
+    "q_tac_parse" ->
+      """WITH q AS (
+        |  SELECT * FROM read_csv('/tmp/graft_tac_twin.tsv', delim='\t', header=false, quote='',
+        |    columns={'query_id':'VARCHAR','docid':'VARCHAR','name':'VARCHAR',
+        |             'beg_off':'BIGINT','end_off':'BIGINT'})
+        |), l AS (
+        |  SELECT * FROM read_csv('/tmp/graft_tac_links.tsv', delim='\t', header=false, quote='',
+        |    columns={'query_id':'VARCHAR','kb_id':'VARCHAR','entity_type':'VARCHAR'})
+        |), d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS doc_tokens
+        |  FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        |)
+        |SELECT q.query_id, q.docid, q.name, q.beg_off, q.end_off,
+        |  l.kb_id, l.entity_type, d.doc_tokens
+        |FROM q JOIN l USING (query_id)
+        |JOIN d ON d.doc_id = CAST(regexp_replace(q.docid, '^DOC_', '') AS BIGINT)
+        |ORDER BY q.query_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.StructType
  *  S1  incremental page ingest → extraction/mention expressions as-is
  *  S2  watermarked sliding-window aggregation
  *  S3  event-time sessionization via session_window
+ *  S5  stream-stream interval join (watermarks on both sides bound the
+ *      join state — without the time-range predicate the state store
+ *      would grow without bound at 100 TB/day ingest)
+ *  S6  watermarked streaming dedup (dropDuplicatesWithinWatermark):
+ *      exact-dedup-on-ingest for a training-data feed, state bounded
+ *      by the watermark horizon instead of the corpus size
  *
  * All transforms are source-agnostic (readStream parquet/kafka/socket);
  * tests drive them with a file source + memory sink synchronously.
@@ -52,4 +58,38 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
       .select(col("user_id"), col("session.start").as("s_start"),
         col("session.end").as("s_end"), col("n_events"), col("session_value"))
+
+  /** S5: stream-stream interval join — `clicks` events joined to the
+    * same user's `view` events within [0, maxDelay] BEFORE the click.
+    * Both sides watermarked; the interval condition lets Spark evict
+    * join state past the horizon (mandatory for unbounded ingest). */
+  def clickAfterView(views: DataFrame, clicks: DataFrame,
+      watermark: String = "30 minutes", maxDelay: String = "15 minutes"): DataFrame = {
+    val v = views
+      .withColumn("v_ts", col("ts").cast("timestamp"))
+      .select(col("user_id").as("v_user"), col("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks
+      .withColumn("c_ts", col("ts").cast("timestamp"))
+      .select(col("user_id").as("c_user"), col("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    c.join(v,
+        col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $maxDelay"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
+  /** S6: exact dedup on a streaming ingest, state bounded by the
+    * watermark horizon — duplicates of a key arriving within the
+    * horizon are dropped; state for keys older than the watermark is
+    * evicted (at web-scale ingest this is the only tractable exact
+    * dedup: global-history dedup belongs in the batch layer). */
+  def dedupWithinWatermark(docs: DataFrame, keyCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
 }

@@ -49,6 +49,51 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count() > 0)
   }
 
+  test("S5: stream-stream interval join matches the batch join") {
+    val dir = Files.createTempDirectory("stream-ssj").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def src() = spark.readStream.schema(schema).parquet(dir)
+    val views = src().filter(col("event_type") === "view")
+    val clicks = src().filter(col("event_type") === "click")
+    val q = StreamOps.clickAfterView(views, clicks,
+        watermark = "2 hours", maxDelay = "6 hours")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.sql("SELECT * FROM ssj_out")
+    // inner stream-stream joins emit a match as soon as both sides arrive
+    // (the watermark only bounds state), so the finite-source result must
+    // equal the batch interval join exactly
+    val batchDf = spark.read.parquet(dir)
+    val nBatch = StreamOps.clickAfterView(
+      batchDf.filter(col("event_type") === "view"),
+      batchDf.filter(col("event_type") === "click"),
+      watermark = "2 hours", maxDelay = "6 hours").count()
+    assert(streamed.count() == nBatch && nBatch > 0)
+    // every match respects the interval: 0 <= c_ts - v_ts <= 6h
+    assert(streamed.filter(col("v_ts") > col("c_ts") ||
+      col("v_ts") < col("c_ts") - expr("INTERVAL 6 hours")).count() == 0)
+  }
+
+  test("S6: watermarked streaming dedup drops exact duplicates") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir) // every event_id now appears twice
+    val schema = spark.read.parquet(dir).schema
+    assert(spark.read.parquet(dir).count() == 2000)
+    val q = StreamOps.dedupWithinWatermark(
+        spark.readStream.schema(schema).parquet(dir), "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.sql("SELECT event_id FROM dedup_out")
+    assert(got.count() == 1000)
+    assert(got.distinct().count() == 1000)
+  }
+
   test("S3: event-time sessionization with session_window") {
     val dir = Files.createTempDirectory("stream-sess").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")

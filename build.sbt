@@ -28,14 +28,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Heap policy (round-2 post-mortem, VERDICT.md): -Xms=<max> plus
+// -XX:+AlwaysPreTouch commits the FULL heap at JVM startup. With the
+// driver's large SPARK_DRIVER_MEM (~90g) that pre-touch OOM-killed the
+// driver's Verify/Bench forks on a busy 125 GiB box — both complete fine
+// in <8 GB with a lazily-committed heap. So: pre-touch + eager Xms are
+// OPT-IN (NELSPARK_BENCH_JVM=1, set only by scripts/scaling_pair.sh for
+// timed scaling legs where page-fault storms would pollute the timings);
+// everything else (sbt test, driver-run Verify/Bench) gets a lazy heap.
+val benchJvm = sys.env.get("NELSPARK_BENCH_JVM").contains("1")
+val heapOpts =
+  if (benchJvm) Seq(
+    s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    "-XX:+AlwaysPreTouch",
+  )
+  else Seq(s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}")
+javaOptions ++= jdk17AddOpens ++ heapOpts ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // batch-throughput GC + pre-touched heap: avoids runtime page-fault
-  // storms (virtualized memory) that showed up as 80%+ sys CPU in bench
+  // batch-throughput GC (cheap regardless of heap-commit policy)
   "-XX:+UseParallelGC",
-  "-XX:+AlwaysPreTouch",
   "-Xlog:gc:file=/tmp/gc-%p.log",
 )

@@ -15,6 +15,9 @@ object Verify {
       // same plan shape as Bench/Main: see nelspark.Main.session
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // sweeps tmpfs dirs leaked by SIGKILLed JVMs before this (driver-run)
+      // job starts — round-2 post-mortem; see nelspark.Main.localDir
+      .config("spark.local.dir", nelspark.Main.localDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,46 @@
+package nelspark.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import nelspark.functions._
+
+/**
+ * Pinned cross-engine fixtures (same pattern as
+ * [[nelspark.sources.Conll.ensureFixture]]): a deterministic artifact is
+ * derived ONCE from the canonical sf0.001 tables and written to a fixed
+ * path that both the Spark query and its static DuckDB oracle SQL read.
+ * This upgrades custom-hash operators from rows-only to oracle-exact:
+ * the hash computation itself is gated by property tests (ExprSpec band
+ * collisions), while the relational logic downstream of it — banded
+ * self-join, pair dedup, transitive closure — is verified cross-engine.
+ */
+object Fixtures {
+
+  /** (doc_id, band, bh) MinHash band keys of the sf0.001 documents table
+    * (8-gram shingles, 12 hashes, 4 bands, seed 42 — the q_minhash_pairs
+    * configuration). Idempotent: skipped when the parquet _SUCCESS marker
+    * exists, so the bytes are pinned for the round. */
+  def ensureMinhashBands(spark: SparkSession, docsParquet: String,
+      dir: String): String = {
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.read.parquet(docsParquet)
+        .select(col("doc_id"), posexplode(
+          minhash_bands(
+            minhash_ngrams(lower(col("text")), 8, 12, 42L), 4))
+          .as(Seq("band", "bh")))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** The banded candidate pairs (a_id < b_id, distinct) over a band-key
+    * table — shared by q_minhash_pairs and q_er_doc_clusters so both
+    * engines see the identical pair set. */
+  def bandPairs(bands: DataFrame): DataFrame = {
+    val a = bands.withColumnRenamed("doc_id", "a_id")
+    val b = bands.withColumnRenamed("doc_id", "b_id")
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+}

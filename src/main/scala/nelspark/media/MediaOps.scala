@@ -51,6 +51,11 @@ object MediaOps {
     var i = 2
     while (i + 9 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return None
+      // spec-legal fill: any run of 0xFF bytes may pad before a marker
+      // (JFIF B.1.1.2) — advance to the last 0xFF so the byte after it
+      // is the marker code, not another fill byte
+      while (i + 9 <= b.length && (b(i + 1) & 0xFF) == 0xFF) i += 1
+      if (i + 9 > b.length) return None
       val marker = b(i + 1) & 0xFF
       // EOI with no SOF seen → no dimensions; SOS → entropy-coded data
       // follows (0xFF bytes inside it are not markers) and SOFn must

@@ -210,10 +210,16 @@ object Tfidf {
       .select(col("url"), explode(split(lower(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("url", "term").agg(count("*").cast("double").as("tf"))
-    val nDocs = extracted.select(approx_count_distinct("url")).head().getLong(0)
+    // N arrives via a broadcast 1-row cross join (same form as q_tfidf) —
+    // an eager .head() here forced a full corpus scan at DAG-CONSTRUCTION
+    // time, before the caller even acts on the plan (round-2 advice)
+    val nDf = extracted.agg(
+      approx_count_distinct("url").cast("double").as("n_docs"))
     val dfT = terms.groupBy("term").agg(count("*").as("df")) // 1 row per (url,term)
     val weighted = terms.join(dfT, "term")
-      .withColumn("w", col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0))
+      .crossJoin(broadcast(nDf))
+      .withColumn("w",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
     val topped = weighted
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("url").orderBy(desc("w"), asc("term"))))

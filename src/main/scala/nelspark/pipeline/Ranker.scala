@@ -81,7 +81,7 @@ object Ranker {
   def fit(mentions: DataFrame, pageTerms: DataFrame, entityPrior: DataFrame,
       nameProb: DataFrame, entityTfidf: DataFrame, gold: DataFrame,
       maxSample: Long = 50000L, iters: Int = 500, lr: Double = 0.5,
-      l2: Double = 1e-4): Linker.Weights = {
+      l2: Double = 1e-4, topN: Int = 8, saltBuckets: Int = 16): Linker.Weights = {
     import org.apache.spark.sql.expressions.Window
     val g = gold.select(col("mention_id"), col("entity_id").as("gold_ent"))
     val m0 = mentions.select("mention_id", "url", "name_norm")
@@ -91,8 +91,11 @@ object Ranker {
              else m0.filter(pmod(xxhash64(col("mention_id")),
                lit(n / maxSample + 1)) === 0)).cache()
 
+    // train over the SAME candidate cutoff the caller will serve with —
+    // a hard-coded topN here would silently diverge from scoring-time
+    // behavior whenever Linker.link runs with non-default Weights
     val pos = Linker.candidateFeatures(m.select("mention_id", "url", "name_norm"),
-        pageTerms, entityPrior, nameProb, entityTfidf)
+        pageTerms, entityPrior, nameProb, entityTfidf, topN, saltBuckets)
       .join(g, Seq("mention_id"))
       .select(col("p_prior"), col("p_name"), col("ctx_cos"),
         (col("entity_id") === col("gold_ent")).as("y"))
@@ -111,11 +114,13 @@ object Ranker {
       .select(col("p_prior"), col("p_name"), col("ctx_cos"), lit(false).as("y"))
 
     val rows = pos.unionByName(neg).collect()
+    m.unpersist() // collected — don't leak executor storage in long sessions
     val xs = rows.map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     val ys = rows.map(_.getBoolean(3))
     require(ys.exists(identity) && ys.exists(!_),
       "ranker training needs both positive and negative candidates")
     val w = fitLogistic(xs, ys, iters, lr, l2)
-    Linker.Weights(prior = w(0), nameProb = w(1), ctx = w(2), tauNil = -w(3))
+    Linker.Weights(prior = w(0), nameProb = w(1), ctx = w(2), tauNil = -w(3),
+      topN = topN, saltBuckets = saltBuckets)
   }
 }

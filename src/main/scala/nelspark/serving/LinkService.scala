@@ -86,6 +86,11 @@ object LinkService {
       entityTfidf: DataFrame, w: Linker.Weights = Linker.Weights(),
       termDf: Option[DataFrame] = None, nDocs: Long = 0L,
       maxRows: Long = 5000000L): LinkModel = {
+    // the guard below does limit(maxRows + 1).toInt — a maxRows at or
+    // above Int.MaxValue would overflow into a wrong/negative limit and
+    // silently defeat the size guard it implements
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in (0, Int.MaxValue): $maxRows")
     def fetch(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
       val rows = df.limit((maxRows + 1).toInt).collect()
       require(rows.length <= maxRows,

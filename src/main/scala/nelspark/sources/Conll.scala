@@ -14,11 +14,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  * explicit line_no column makes row order engine-independent (CSV scan
  * order is not a contract in either Spark or DuckDB).
  *
- * The doc-boundary regroup is a running count over a GLOBAL ordered
- * window — correct for gold-corpus fixtures, which are single bounded
- * files (CoNLL-YAGO is ~1400 docs). The 100-TB path for this shape is
- * per-file windows keyed by `input_file_name()` with a two-pass
- * boundary-offset join; gold corpora never need it.
+ * Two regroup paths:
+ *  - [[tokens]]: running count over a GLOBAL ordered window — one
+ *    partition, right-sized for gold-corpus fixtures (CoNLL-YAGO is
+ *    ~1400 docs in one bounded file);
+ *  - [[tokensMultiFile]]: the 100-TB shape — per-FILE windows keyed by
+ *    `input_file_name()` plus a two-pass boundary-offset join: pass 1
+ *    aggregates one tiny row per file (doc count, first line) and
+ *    prefix-sums the doc offsets; pass 2 broadcasts the offsets back so
+ *    every file regroups independently in parallel. A doc (or mention)
+ *    split across a file boundary lands in the previous file's last doc
+ *    index by construction (leading tokens have local doc count 0).
+ *    ConllSpec asserts multi-file ≡ single-file mentions.
  */
 object Conll {
 
@@ -82,14 +89,47 @@ object Conll {
           .cast("long"))
   }
 
+  /** Scalable multi-file token regroup (the 100-TB shape — see header).
+    * Expects a directory of TSV shards whose `line_no` is globally
+    * consistent (shards of one logical corpus). Every window below is
+    * keyed by file or by doc — nothing forces a single partition; the
+    * only global window runs over the 1-row-per-file summary. */
+  def tokensMultiFile(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.option("sep", "\t")
+      .schema("line_no LONG, token STRING, ner STRING").csv(dir)
+      .withColumn("fname", input_file_name())
+    val isStart = when(col("token") === "-DOCSTART-", 1L).otherwise(0L)
+    // pass 1: one tiny row per file → prefix-sum of doc counts in file
+    // order (first global line_no wins; fname tie-break for determinism)
+    val perFile = raw.groupBy("fname").agg(
+      sum(isStart).as("n_docs"), min("line_no").as("first_line"))
+    val wo = Window.orderBy("first_line", "fname")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perFile
+      .withColumn("doc_offset", coalesce(sum("n_docs").over(wo), lit(0L)))
+      .select("fname", "doc_offset")
+    // pass 2: per-file running count + broadcast offset join
+    val wf = Window.partitionBy("fname").orderBy("line_no")
+    raw
+      .withColumn("ldoc", sum(isStart).over(wf))
+      .join(broadcast(offsets), Seq("fname"))
+      .withColumn("doc_idx", col("doc_offset") + col("ldoc"))
+      .filter(col("token") =!= "-DOCSTART-")
+      .withColumn("tok_pos",
+        (row_number().over(Window.partitionBy("doc_idx").orderBy("line_no")) - 1)
+          .cast("long"))
+      .select("line_no", "token", "ner", "doc_idx", "tok_pos")
+  }
+
   /** Gold mentions reassembled from B-ENT/I-ENT runs (gaps-and-islands:
-    * island id = running count of B tags): one row per mention with
-    * [begin_tok, end_tok) token span and the space-joined surface name. */
-  def mentions(spark: SparkSession, path: String): DataFrame = {
-    val t = tokens(spark, path)
-    val w = Window.orderBy("line_no")
+    * island id = running count of B tags PER DOC — unique within the
+    * (doc_idx, mid) group key, and partitioned by doc so the step scales
+    * with either token source). One row per mention with [begin_tok,
+    * end_tok) token span and the space-joined surface name. */
+  def mentionsFrom(t: DataFrame): DataFrame = {
+    val wd = Window.partitionBy("doc_idx").orderBy("line_no")
     t.withColumn("mid",
-        sum(when(col("ner") === "B-ENT", 1L).otherwise(0L)).over(w))
+        sum(when(col("ner") === "B-ENT", 1L).otherwise(0L)).over(wd))
       .filter(col("ner") =!= "O")
       .groupBy("doc_idx", "mid")
       .agg(min("tok_pos").as("begin_tok"),
@@ -99,4 +139,12 @@ object Conll {
             x => x.getField("token")), " ").as("name"))
       .select("doc_idx", "begin_tok", "end_tok", "name")
   }
+
+  /** Single-file gold mentions (fixture path). */
+  def mentions(spark: SparkSession, path: String): DataFrame =
+    mentionsFrom(tokens(spark, path))
+
+  /** Multi-file gold mentions (scalable path). */
+  def mentionsMultiFile(spark: SparkSession, dir: String): DataFrame =
+    mentionsFrom(tokensMultiFile(spark, dir))
 }

@@ -40,6 +40,27 @@ class ConllSpec extends SparkSpec {
       (2L, 1L, 2L, "Bob")))
   }
 
+  test("multi-file regroup == single-file path (incl. mid-doc shard cuts)") {
+    val p = "/tmp/conll_spec_fixture_mf.tsv"
+    Conll.ensureFixture(spark, "/root/testdata/sf0.001/documents.parquet", p, 20)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(p))
+    val dir = Files.createTempDirectory("conll_mf")
+    // cut at arbitrary line offsets — NOT doc boundaries — so shards 2/3
+    // begin mid-doc (and possibly mid-mention): their leading tokens must
+    // land in the previous shard's last doc via the boundary-offset join
+    val cuts = Seq(0, lines.size / 3 + 7, 2 * lines.size / 3 + 3, lines.size)
+    for (i <- 0 until 3)
+      Files.write(dir.resolve(f"shard$i%02d.tsv"),
+        lines.subList(cuts(i), cuts(i + 1)))
+    val single = Conll.mentions(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    val multi = Conll.mentionsMultiFile(spark, dir.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(multi == single, "multi-file mentions differ from single-file")
+    val toks = Conll.tokensMultiFile(spark, dir.toString)
+    assert(toks.select(countDistinct("doc_idx")).head.getLong(0) == 20L)
+  }
+
   test("fixture generation is idempotent and parses to >0 mentions") {
     val p = "/tmp/conll_spec_fixture.tsv"
     Conll.ensureFixture(spark, "/root/testdata/sf0.001/documents.parquet", p, 20)

@@ -52,6 +52,18 @@ class MediaSpec extends SparkSpec {
     assert(MediaOps.parseJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)) == None)
   }
 
+  test("JPEG skips spec-legal 0xFF fill bytes before markers (JFIF B.1.1.2)") {
+    // SOI, then a run of 0xFF fill bytes directly before the SOF0 marker:
+    // the byte after the run is the marker code, not another segment
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xFF.toByte, 0xD8.toByte), 0, 2) // SOI
+    out.write(Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte), 0, 3) // fill
+    out.write(Array[Byte](0xC0.toByte, 0x00, 0x11, 0x08,
+      0x00, 0x64, 0x00, 0xC8.toByte), 0, 8) // SOF0: h=100 w=200
+    out.write(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1), 0, 10)
+    assert(MediaOps.parseJpeg(out.toByteArray) == Some((200, 100)))
+  }
+
   test("JPEG walk stops at EOI and SOS instead of misparsing trailing bytes") {
     // SOI + EOI followed by SOF-looking garbage: no dimensions before
     // end-of-image -> None, not garbage w/h

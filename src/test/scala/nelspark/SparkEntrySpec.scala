@@ -9,6 +9,25 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("queryList/oracleList keys are unique (Map-literal shadowing guard)") {
+    // a duplicate key in a Map literal silently shadows its first
+    // definition — round-2 verdict found q_percentile defined twice
+    val qk = graft.SparkEntry.queryList.map(_._1)
+    assert(qk.distinct.size == qk.size,
+      s"duplicate query keys: ${qk.diff(qk.distinct).distinct}")
+    val ok = graft.SparkEntry.oracleList.map(_._1)
+    assert(ok.distinct.size == ok.size,
+      s"duplicate oracle keys: ${ok.diff(ok.distinct).distinct}")
+  }
+
+  test("q_pipeline_f1 (flagship-in-queries) passes the binding F1 gate") {
+    val r = graft.SparkEntry.queries("q_pipeline_f1")(spark, "/root/testdata/sf0.001")
+      .head()
+    val f1 = r.getAs[Double]("f1")
+    info(s"q_pipeline_f1 f1=$f1 tp=${r.getAs[Long]("tp")} fp=${r.getAs[Long]("fp")}")
+    assert(f1 >= 0.99, s"q_pipeline_f1 gate failed: $f1")
+  }
+
   test("entry() produces a non-empty F1 row passing the gate") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length == 1)

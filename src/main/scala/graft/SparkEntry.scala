@@ -494,10 +494,15 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
-    // Document fingerprinting (rolling hash; rows-only)
+    // Document fingerprinting (rolling hash). Fingerprints are pinned to
+    // a parquet fixture both engines read (custom hash — same pattern as
+    // q_minhash_pairs), making the dedup group-aggregation oracle-exact;
+    // the kernel itself is gated by ExprSpec.
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), doc_fingerprint(col("text"), 5).as("fp"))
+      val fx = nelspark.gen.Fixtures.ensureFingerprints(s,
+        "/root/testdata/sf0.001/documents.parquet",
+        "/tmp/graft_fingerprints.parquet")
+      s.read.parquet(fx)
         .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
         .orderBy("keep_id")
     }),
@@ -1187,6 +1192,11 @@ object SparkEntry {
         |  CAST(sum(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 36 END) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_fingerprint" ->
+      """SELECT fp, count(*) AS n, min(doc_id) AS keep_id
+        |FROM read_parquet('/tmp/graft_fingerprints.parquet/*.parquet')
+        |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
     // reads the pinned band-key fixture written by the Spark side (the
     // MinHash itself is a custom kernel DuckDB cannot recompute; the
     // banded self-join + pair dedup is what this verifies cross-engine)
@@ -1222,11 +1232,12 @@ object SparkEntry {
         |  FROM ids LEFT JOIN lbl ON lbl.n = ids.doc_id),
         |c AS (SELECT cid, count(*) AS sz FROM asg GROUP BY cid)
         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY sz ORDER BY sz""".stripMargin
-    // q_simhash_pairs / q_fingerprint / q_ann_lsh / q_ann_ivf /
-    // q_mentions / q_coref_chains / q_approx_distinct / q_media_frames /
+    // q_simhash_pairs / q_ann_lsh / q_ann_ivf / q_mentions /
+    // q_coref_chains / q_approx_distinct / q_media_frames /
     // q_pipeline_f1: custom-hash / iterative / approximate / stub-decoder
     // / end-to-end operators — rows-only check by design (q_pipeline_f1's
-    // VALUE is gated in PipelineSpec: F1 >= 0.99).
+    // VALUE is gated in SparkEntrySpec at F1 >= 0.99; q_simhash_pairs'
+    // banded≡exact completeness in DedupSpec; ANN recall in AnnSpec).
   )
 
   def oracleSql: Map[String, String] = oracleList.toMap

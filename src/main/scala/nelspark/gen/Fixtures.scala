@@ -33,6 +33,19 @@ object Fixtures {
     dir
   }
 
+  /** (doc_id, fp) rolling-hash document fingerprints of the sf0.001
+    * documents table (window 5 — the q_fingerprint configuration).
+    * Same pinning contract as [[ensureMinhashBands]]. */
+  def ensureFingerprints(spark: SparkSession, docsParquet: String,
+      dir: String): String = {
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.read.parquet(docsParquet)
+        .select(col("doc_id"), doc_fingerprint(col("text"), 5).as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** The banded candidate pairs (a_id < b_id, distinct) over a band-key
     * table — shared by q_minhash_pairs and q_er_doc_clusters so both
     * engines see the identical pair set. */

@@ -383,13 +383,32 @@ object SparkEntry {
     // degenerate band buckets are purged before the self-join
     // (nelspark.dedup.SimHashDedup; exactness vs all-pairs gated in
     // DedupSpec).
+    // SimHash signatures are pinned to a parquet fixture both engines
+    // read (custom hash — same pattern as q_minhash_pairs); the banded
+    // self-join + Hamming filter is then oracle-exact against DuckDB's
+    // EXACT all-pairs form: at fixture scale no bucket exceeds maxBucket
+    // so banded ≡ exact by the Manku pigeonhole (gated in DedupSpec).
     "q_simhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"),
-          simhash64(split(lower(col("text")), "\\s+")).as("sh"))
+      val fx = nelspark.gen.Fixtures.ensureSimhash(s,
+        "/root/testdata/sf0.001/documents.parquet",
+        "/tmp/graft_simhash.parquet")
       nelspark.dedup.SimHashDedup
-        .simhashPairs(d, "doc_id", "sh", maxHamming = 3)
+        .simhashPairs(s.read.parquet(fx), "doc_id", "sh", maxHamming = 3)
         .orderBy("a_id", "b_id")
+    }),
+
+    // SRC2 scale path: the SAME gold corpus split into 4 shards cut at
+    // arbitrary line offsets (mid-doc), regrouped via per-file windows +
+    // the two-pass boundary-offset join — no global single-partition
+    // window anywhere. The oracle is the naive global-window SQL over
+    // the concatenated shards: cross-engine proof the scalable regroup
+    // has single-file semantics.
+    "q_conll_multifile" -> ((s, dir) => {
+      val shards = nelspark.sources.Conll.ensureShards(s,
+        "/root/testdata/sf0.001/documents.parquet",
+        "/tmp/graft_conll_shards", 100, 4)
+      nelspark.sources.Conll.mentionsMultiFile(s, shards)
+        .orderBy("doc_idx", "begin_tok")
     }),
 
     // P4: NormalizeName custom expr, oracle-checked (ASCII input — both
@@ -1231,13 +1250,48 @@ object SparkEntry {
         |  SELECT ids.doc_id, coalesce(lbl.cid, ids.doc_id) AS cid
         |  FROM ids LEFT JOIN lbl ON lbl.n = ids.doc_id),
         |c AS (SELECT cid, count(*) AS sz FROM asg GROUP BY cid)
-        |SELECT sz, count(*) AS n_clusters FROM c GROUP BY sz ORDER BY sz""".stripMargin
-    // q_simhash_pairs / q_ann_lsh / q_ann_ivf / q_mentions /
-    // q_coref_chains / q_approx_distinct / q_media_frames /
-    // q_pipeline_f1: custom-hash / iterative / approximate / stub-decoder
-    // / end-to-end operators — rows-only check by design (q_pipeline_f1's
-    // VALUE is gated in SparkEntrySpec at F1 >= 0.99; q_simhash_pairs'
-    // banded≡exact completeness in DedupSpec; ANN recall in AnnSpec).
+        |SELECT sz, count(*) AS n_clusters FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+
+    // exact all-pairs Hamming over the pinned signatures: equals the
+    // Spark banded form because no bucket is purged at fixture scale and
+    // bands = maxHamming+1 pigeonhole-guarantees completeness (DedupSpec)
+    "q_simhash_pairs" ->
+      """WITH d AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_simhash.parquet/*.parquet'))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // naive global-window regroup over the concatenated shards (DuckDB
+    // is single-node, so the one-partition shape is fine there) — the
+    // Spark side answers with per-file windows + boundary-offset join
+    "q_conll_multifile" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv('/tmp/graft_conll_shards/*.tsv', delim='\t', header=false, quote='',
+        |    columns={'line_no':'BIGINT','token':'VARCHAR','ner':'VARCHAR'})
+        |), docd AS (
+        |  SELECT *, CAST(sum(CASE WHEN token='-DOCSTART-' THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY line_no) AS BIGINT) AS doc_idx FROM raw
+        |), toks AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_idx ORDER BY line_no) - 1 AS tok_pos
+        |  FROM docd WHERE token <> '-DOCSTART-'
+        |), isl AS (
+        |  SELECT *, sum(CASE WHEN ner='B-ENT' THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY line_no) AS mid FROM toks
+        |)
+        |SELECT doc_idx, min(tok_pos) AS begin_tok, max(tok_pos)+1 AS end_tok,
+        |  string_agg(token, ' ' ORDER BY line_no) AS name
+        |FROM isl WHERE ner <> 'O'
+        |GROUP BY doc_idx, mid
+        |ORDER BY doc_idx, begin_tok""".stripMargin
+    // q_ann_lsh / q_ann_ivf / q_mentions / q_coref_chains /
+    // q_approx_distinct / q_media_frames / q_pipeline_f1: custom-kernel /
+    // iterative / approximate / stub-decoder / end-to-end operators —
+    // rows-only check by design (q_pipeline_f1's VALUE is gated in
+    // SparkEntrySpec at F1 >= 0.99; ANN recall in AnnSpec; the mention
+    // detector against golden vectors in ExprSpec).
   )
 
   def oracleSql: Map[String, String] = oracleList.toMap

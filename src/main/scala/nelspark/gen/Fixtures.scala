@@ -46,6 +46,20 @@ object Fixtures {
     dir
   }
 
+  /** (doc_id, sh) 64-bit SimHash fingerprints over whitespace tokens of
+    * the sf0.001 documents table (the q_simhash_pairs configuration).
+    * Same pinning contract as [[ensureMinhashBands]]. */
+  def ensureSimhash(spark: SparkSession, docsParquet: String,
+      dir: String): String = {
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.read.parquet(docsParquet)
+        .select(col("doc_id"),
+          simhash64(split(lower(col("text")), "\\s+")).as("sh"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** The banded candidate pairs (a_id < b_id, distinct) over a band-key
     * table — shared by q_minhash_pairs and q_er_doc_clusters so both
     * engines see the identical pair set. */

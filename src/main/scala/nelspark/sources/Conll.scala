@@ -73,6 +73,35 @@ object Conll {
     path
   }
 
+  /** Sharded twin of [[ensureFixture]] (drives the multi-file regroup
+    * through the driver oracle): the SAME fixture bytes split into
+    * `nShards` contiguous chunks at fixed line offsets — mid-doc (and
+    * possibly mid-mention) by construction, so shard boundaries exercise
+    * the two-pass offset join. Idempotent: same bytes every call. */
+  def ensureShards(spark: SparkSession, docsParquet: String, dir: String,
+      nDocs: Int = 100, nShards: Int = 4): String = {
+    val single = ensureFixture(spark, docsParquet, dir + ".tsv", nDocs)
+    val lines = Files.readAllLines(Paths.get(single))
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val per = (lines.size + nShards - 1) / nShards
+    for (i <- 0 until nShards) {
+      val from = math.min(i * per, lines.size)
+      val to = math.min((i + 1) * per, lines.size)
+      val tmp = Paths.get(s"$dir.shard$i.tmp.${ProcessHandle.current().pid()}")
+      Files.write(tmp, lines.subList(from, to))
+      Files.move(tmp, d.resolve(f"shard$i%03d.tsv"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // a prior call with larger nShards leaves extra shardNNN.tsv files
+    // behind — both engines glob the dir, so purge anything beyond ours
+    Option(d.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("shard\\d+\\.tsv") &&
+        f.getName.stripPrefix("shard").stripSuffix(".tsv").toInt >= nShards)
+      .foreach(_.delete())
+    dir
+  }
+
   /** Token rows regrouped into docs: doc_idx from a running count of
     * `-DOCSTART-` boundary rows, tok_pos the 0-based position within
     * the doc. */

@@ -61,6 +61,33 @@ class ConllSpec extends SparkSpec {
     assert(toks.select(countDistinct("doc_idx")).head.getLong(0) == 20L)
   }
 
+  test("ensureShards reconstitutes the single-file bytes and is stable") {
+    val dir = "/tmp/conll_spec_shards"
+    Conll.ensureShards(spark, "/root/testdata/sf0.001/documents.parquet",
+      dir, 20, 3)
+    def cat(): Array[Byte] = {
+      val fs = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tsv"))
+        .sortBy(_.getName)
+      assert(fs.length == 3, s"expected 3 shards, got ${fs.length}")
+      fs.flatMap(f => Files.readAllBytes(f.toPath)).toArray
+    }
+    val single = Files.readAllBytes(java.nio.file.Paths.get(dir + ".tsv"))
+    val b1 = cat()
+    // readAllLines/write drops the trailing newline convention — compare
+    // the token content, not the final byte
+    def norm(b: Array[Byte]) = new String(b, "UTF-8").stripTrailing()
+    assert(norm(b1) == norm(single), "shards != single-file fixture bytes")
+    Conll.ensureShards(spark, "/root/testdata/sf0.001/documents.parquet",
+      dir, 20, 3)
+    assert(java.util.Arrays.equals(b1, cat()), "shards not byte-stable")
+    // the sharded regroup over THIS fixture matches the single-file path
+    val single2 = Conll.mentions(spark, dir + ".tsv")
+      .collect().map(_.toString).sorted.toSeq
+    val multi = Conll.mentionsMultiFile(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(multi == single2)
+  }
+
   test("fixture generation is idempotent and parses to >0 mentions") {
     val p = "/tmp/conll_spec_fixture.tsv"
     Conll.ensureFixture(spark, "/root/testdata/sf0.001/documents.parquet", p, 20)

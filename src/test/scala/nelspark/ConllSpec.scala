@@ -80,6 +80,16 @@ class ConllSpec extends SparkSpec {
     Conll.ensureShards(spark, "/root/testdata/sf0.001/documents.parquet",
       dir, 20, 3)
     assert(java.util.Arrays.equals(b1, cat()), "shards not byte-stable")
+    // shrink nShards: higher-index shards from the wider run must be
+    // purged or both engines would glob duplicated data
+    Conll.ensureShards(spark, "/root/testdata/sf0.001/documents.parquet",
+      dir, 20, 2)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tsv")).map(_.getName).sorted
+    assert(after.toSeq == Seq("shard000.tsv", "shard001.tsv"),
+      s"stale shards not purged: ${after.mkString(",")}")
+    Conll.ensureShards(spark, "/root/testdata/sf0.001/documents.parquet",
+      dir, 20, 3) // restore for any later fixture consumer
     // the sharded regroup over THIS fixture matches the single-file path
     val single2 = Conll.mentions(spark, dir + ".tsv")
       .collect().map(_.toString).sorted.toSeq

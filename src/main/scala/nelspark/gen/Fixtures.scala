@@ -60,6 +60,32 @@ object Fixtures {
     dir
   }
 
+  /** (mention_id, url, name_norm) detector output over the sf0.001
+    * documents (the q_coref_chains derivation: proper-cased word set →
+    * ExtractMentions → NormalizeName, len ≥ 2). Pinning it lets DuckDB
+    * re-derive the within-doc coref CHAINS independently (compatibility
+    * predicate in SQL + recursive-CTE transitive closure), so the J2
+    * union-find clustering is verified cross-engine, not just the
+    * kernel. Same pinning contract as [[ensureMinhashBands]]. */
+  def ensureCorefMentions(spark: SparkSession, docsParquet: String,
+      dir: String): String = {
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.read.parquet(docsParquet)
+        .withColumn("ctext", concat_ws(" ",
+          transform(split(col("text"), "\\s+"), w =>
+            when(w.isin("spark", "customer", "table", "window", "query"),
+              concat(upper(substring(w, 1, 1)), substring(w, 2, 1000)))
+              .otherwise(w))))
+        .select(col("doc_id").cast("string").as("url"),
+          posexplode(extract_mentions(col("ctext"))).as(Seq("pos", "m")))
+        .select(xxhash64(col("url"), col("m.begin")).as("mention_id"),
+          col("url"), normalize_name(col("m.name")).as("name_norm"))
+        .filter(length(col("name_norm")) >= 2)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** The banded candidate pairs (a_id < b_id, distinct) over a band-key
     * table — shared by q_minhash_pairs and q_er_doc_clusters so both
     * engines see the identical pair set. */

@@ -26,12 +26,30 @@ object SparkEntry {
 
   /** Flagship: the full ER pipeline on a small generated corpus → 1-row
     * pairwise-F1 DataFrame (driver smoke-checks rows > 0). */
-  def entry(spark: SparkSession): DataFrame = {
+  def entry(spark: SparkSession): DataFrame =
+    runPipelineF1(spark, 800L, 160L)
+
+  /** Full ER run → the 1-row F1 result, materialized while the
+    * intermediate caches are alive and unpersisted before returning
+    * (round-3 advice: repeated invocations from Verify/Bench/specs in
+    * one long-lived session must not leak executor storage memory). The
+    * returned frame is a 1-row LocalRelation of the already-computed
+    * values, so downstream writes never re-trigger the pipeline. */
+  private def runPipelineF1(s: SparkSession, nPages: Long,
+      nEntities: Long): DataFrame = {
     import nelspark.gen.CorpusGen
-    import nelspark.pipeline._
-    val gen = CorpusGen.generate(spark, 800L, 160L).cache()
-    val res = Pipeline.run(spark, CorpusGen.pages(gen), CorpusGen.gold(gen))
-    res.f1
+    import nelspark.pipeline.Pipeline
+    import scala.jdk.CollectionConverters._
+    val gen = CorpusGen.generate(s, nPages, nEntities).cache()
+    var res: Pipeline.Result = null
+    try {
+      res = Pipeline.run(s, CorpusGen.pages(gen), CorpusGen.gold(gen))
+      val out = res.f1
+      s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+    } finally {
+      gen.unpersist()
+      if (res != null) { res.mentions.unpersist(); res.assignments.unpersist() }
+    }
   }
 
   // ------------------------------------------------------------------ //
@@ -83,11 +101,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // A1: per-key counts normalized by global total (prior P(e))
+    // A1: per-key counts normalized by global total (prior P(e)).
+    // The total is a 1-row count agg cross-joined back by broadcast —
+    // NOT an empty-partition window, which would funnel every grouped
+    // row (billions at corpus scale) through a single partition
+    // (round-3 verdict #1; same pattern as q_tfidf's n_docs).
     "q_prior" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
-        .withColumn("p", col("cnt") / sum("cnt").over(Window.partitionBy()))
+      val o = t(s, dir, "orders")
+      val total = o.agg(count(lit(1)).as("tot"))
+      o.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .withColumn("p", col("cnt") / col("tot"))
         .select("o_custkey", "cnt", "p")
         .orderBy("o_custkey")
     }),
@@ -823,14 +847,11 @@ object SparkEntry {
     // end-to-end flow. Present here so the flagship appears in the
     // driver's per-query correctness/bench record.
     "q_pipeline_f1" -> ((s, dir) => {
-      import nelspark.gen.CorpusGen
-      import nelspark.pipeline.Pipeline
-      val gen = CorpusGen.generate(s, 2000L, 400L).cache()
-      val res = Pipeline.run(s, CorpusGen.pages(gen), CorpusGen.gold(gen))
-      res.f1.select(col("tp"), col("fp"), col("fn"),
-        round(col("precision"), 6).as("precision"),
-        round(col("recall"), 6).as("recall"),
-        round(col("f1"), 6).as("f1"))
+      runPipelineF1(s, 2000L, 400L)
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
     })
   )
 

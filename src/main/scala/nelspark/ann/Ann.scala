@@ -40,18 +40,28 @@ object Ann {
       tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
     // one SignLshBuckets call per row + posexplode (index = table id)
     // replaces a per-table union of dim×bits arithmetic Column trees
-    def withBuckets(df: DataFrame, idName: String, embName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(embName),
+    def withBuckets(df: DataFrame, idName: String): DataFrame =
+      df.select(col("vec_id").as(idName),
         posexplode(sign_lsh_buckets(col("embedding"), tables, bits, seed))
           .as(Seq("tbl", "bkt")))
-    val qb = withBuckets(queries, "q_id", "q_emb")
-    val cb = withBuckets(corpus, "n_id", "n_emb")
-    val cands = qb.join(cb, Seq("tbl", "bkt"))
+    // candidate ids only through the collision join + pair dedup — the
+    // embedding arrays (~0.5 KB/row) would otherwise ride every shuffle
+    // ×tables (round-3 verdict #3, mirroring Score's drop-names-before-
+    // context-joins). Vectors join back AFTER the dedup: the query side
+    // by broadcast (bounded query set — the same contract as
+    // bruteForceTopK), the corpus side by one narrow id equi-join.
+    val cands = withBuckets(queries, "q_id")
+      .join(withBuckets(corpus, "n_id"), Seq("tbl", "bkt"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_emb", "n_id", "n_emb")
+      .select("q_id", "n_id")
       .dropDuplicates("q_id", "n_id")
-    val scored = cands.select(col("q_id"), col("n_id"),
-      cosine_sim(col("q_emb"), col("n_emb")).as("sim"))
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine_sim(col("q_emb"), col("n_emb")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "sim")

@@ -22,11 +22,18 @@ object ModelTables {
     labeled.groupBy("name_norm", "entity_id").agg(count(lit(1)).as("cnt"))
 
   /** entity_prior(entity_id, p): P(e) from link counts (A1,
-    * nel/features/probability.py EntityProbability analog). */
-  def entityPrior(labeled: DataFrame): DataFrame =
+    * nel/features/probability.py EntityProbability analog). The global
+    * total is a 1-row count agg cross-joined back by broadcast — an
+    * empty-partition window here would single-partition the entire
+    * per-entity output (billions of rows at corpus scale; round-3
+    * verdict #1, the Tfidf.pageVectors pattern). */
+  def entityPrior(labeled: DataFrame): DataFrame = {
+    val total = labeled.agg(count(lit(1)).as("tot"))
     labeled.groupBy("entity_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("p", col("cnt") / sum("cnt").over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("cnt") / col("tot"))
       .select("entity_id", "p")
+  }
 
   /** name_prob(name_norm, entity_id, p): P(e|name) (A2, NameProbability). */
   def nameProb(labeled: DataFrame): DataFrame =

@@ -100,9 +100,11 @@ object Ranker {
       .select(col("p_prior"), col("p_name"), col("ctx_cos"),
         (col("entity_id") === col("gold_ent")).as("y"))
 
-    // one shifted negative per mention; the single-partition window is
-    // fine — it runs on the capped sample only
-    val wOrd = Window.orderBy(xxhash64(col("mention_id")), col("mention_id"))
+    // one shifted negative per mention; intentionally single-partition —
+    // it runs on the capped sample only (lit(0) partition = documented
+    // intent, no spurious WindowExec warning)
+    val wOrd = Window.partitionBy(lit(0))
+      .orderBy(xxhash64(col("mention_id")), col("mention_id"))
     val negPairs = m
       .withColumn("neg_ent", coalesce(lead(col("gold_ent"), 1).over(wOrd),
         first(col("gold_ent")).over(wOrd)))

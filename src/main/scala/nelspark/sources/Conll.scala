@@ -77,38 +77,68 @@ object Conll {
     * through the driver oracle): the SAME fixture bytes split into
     * `nShards` contiguous chunks at fixed line offsets — mid-doc (and
     * possibly mid-mention) by construction, so shard boundaries exercise
-    * the two-pass offset join. Idempotent: same bytes every call. */
+    * the two-pass offset join. Idempotent: same bytes every call.
+    *
+    * The shard SET is swapped atomically (round-3 advice): shards are
+    * written into a fresh temp directory which is then renamed into
+    * place — a concurrent reader globbing the dir sees either the whole
+    * old set or the whole new set (or, in the instant between the two
+    * renames, a missing dir → loud failure), never a mixed set or a
+    * stale higher-index shard from a wider previous run. */
   def ensureShards(spark: SparkSession, docsParquet: String, dir: String,
       nDocs: Int = 100, nShards: Int = 4): String = {
     val single = ensureFixture(spark, docsParquet, dir + ".tsv", nDocs)
     val lines = Files.readAllLines(Paths.get(single))
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
+    val pid = ProcessHandle.current().pid()
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    // sweep leftovers of crashed prior swaps (same naming scheme)
+    Option(Paths.get(dir).getParent.toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches(
+        java.util.regex.Pattern.quote(Paths.get(dir).getFileName.toString) +
+          "\\.(tmp|old)\\.\\d+"))
+      .foreach(rmTree)
+    val tmpDir = Paths.get(s"$dir.tmp.$pid")
+    Files.createDirectories(tmpDir)
     val per = (lines.size + nShards - 1) / nShards
     for (i <- 0 until nShards) {
       val from = math.min(i * per, lines.size)
       val to = math.min((i + 1) * per, lines.size)
-      val tmp = Paths.get(s"$dir.shard$i.tmp.${ProcessHandle.current().pid()}")
-      Files.write(tmp, lines.subList(from, to))
-      Files.move(tmp, d.resolve(f"shard$i%03d.tsv"),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      Files.write(tmpDir.resolve(f"shard$i%03d.tsv"), lines.subList(from, to))
     }
-    // a prior call with larger nShards leaves extra shardNNN.tsv files
-    // behind — both engines glob the dir, so purge anything beyond ours
-    Option(d.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("shard\\d+\\.tsv") &&
-        f.getName.stripPrefix("shard").stripSuffix(".tsv").toInt >= nShards)
-      .foreach(_.delete())
+    val target = Paths.get(dir)
+    val old = Paths.get(s"$dir.old.$pid")
+    if (Files.exists(target))
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmpDir, target, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(old.toFile)
     dir
   }
+
+  /** Raw one-token-per-line TSV scan. Quoting and escaping are DISABLED
+    * (round-3 advice): CoNLL TSV is raw tab-separated text, not CSV — a
+    * real-world token containing `"` or `\` must parse as itself, one
+    * token per line, exactly as the DuckDB oracle's `quote=''` read and
+    * the documented raw-TSV contract do. Spark's CSV defaults would
+    * silently re-join/mangle such lines. */
+  private def rawTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t")
+      .option("quote", "").option("escape", "")
+      .schema("line_no LONG, token STRING, ner STRING").csv(path)
 
   /** Token rows regrouped into docs: doc_idx from a running count of
     * `-DOCSTART-` boundary rows, tok_pos the 0-based position within
     * the doc. */
   def tokens(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("sep", "\t")
-      .schema("line_no LONG, token STRING, ner STRING").csv(path)
-    val w = Window.orderBy("line_no")
+    val raw = rawTsv(spark, path)
+    // intentionally single-partition (gold-corpus fixtures are one
+    // bounded file — see header; tokensMultiFile is the scale path).
+    // The explicit lit(0) partition documents that and keeps the
+    // WindowExec single-partition warning reserved for real regressions.
+    val w = Window.partitionBy(lit(0)).orderBy("line_no")
     raw
       .withColumn("doc_idx",
         sum(when(col("token") === "-DOCSTART-", 1L).otherwise(0L)).over(w))
@@ -124,15 +154,16 @@ object Conll {
     * keyed by file or by doc — nothing forces a single partition; the
     * only global window runs over the 1-row-per-file summary. */
   def tokensMultiFile(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.option("sep", "\t")
-      .schema("line_no LONG, token STRING, ner STRING").csv(dir)
-      .withColumn("fname", input_file_name())
+    val raw = rawTsv(spark, dir).withColumn("fname", input_file_name())
     val isStart = when(col("token") === "-DOCSTART-", 1L).otherwise(0L)
     // pass 1: one tiny row per file → prefix-sum of doc counts in file
     // order (first global line_no wins; fname tie-break for determinism)
     val perFile = raw.groupBy("fname").agg(
       sum(isStart).as("n_docs"), min("line_no").as("first_line"))
-    val wo = Window.orderBy("first_line", "fname")
+    // intentionally single-partition: runs over the 1-row-PER-FILE
+    // summary, not the token rows (lit(0) partition = documented intent,
+    // no spurious WindowExec warning)
+    val wo = Window.partitionBy(lit(0)).orderBy("first_line", "fname")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perFile
       .withColumn("doc_offset", coalesce(sum("n_docs").over(wo), lit(0L)))

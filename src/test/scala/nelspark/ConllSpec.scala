@@ -40,6 +40,25 @@ class ConllSpec extends SparkSpec {
       (2L, 1L, 2L, "Bob")))
   }
 
+  test("quote/backslash tokens parse verbatim, one token per line") {
+    // raw-TSV contract (round-3 advice): CoNLL is not CSV — a token that
+    // IS a quote char (or contains one, or a backslash) must come back
+    // byte-identical instead of being re-joined across lines by Spark's
+    // CSV quoting, matching the DuckDB oracle's quote='' read.
+    val tsv =
+      "0\t-DOCSTART-\tO\n" +
+        "1\t\"\tO\n" +
+        "2\t\"Quoted\tB-ENT\n" +
+        "3\tback\\slash\tI-ENT\n" +
+        "4\tplain\tO\n"
+    val f = Files.createTempFile("conll_quote", ".tsv")
+    Files.writeString(f, tsv)
+    val toks = Conll.tokens(spark, f.toString)
+      .orderBy("line_no").collect().map(_.getString(1)).toSeq
+    assert(toks == Seq("\"", "\"Quoted", "back\\slash", "plain"),
+      s"quoting not disabled: $toks")
+  }
+
   test("multi-file regroup == single-file path (incl. mid-doc shard cuts)") {
     val p = "/tmp/conll_spec_fixture_mf.tsv"
     Conll.ensureFixture(spark, "/root/testdata/sf0.001/documents.parquet", p, 20)

@@ -19,8 +19,15 @@ class MainSpec extends AnyFunSuite {
     // pre-round-3 layout: non-pid-named entry — always stale
     val legacy = new java.io.File(base, "legacy-shuffle")
     legacy.mkdirs()
-    // a live sibling (simulates a concurrently running bench JVM) must
-    // survive the sweep — use our own pid, which is certainly alive
+    // a live FOREIGN sibling (a concurrently running bench JVM's shuffle
+    // dir) must survive the sweep. Round-3 advice: our own pid's dir is
+    // created by localDir() itself, so it cannot detect a sweep
+    // regression — pre-create a dir for a genuinely live foreign pid
+    // (pid 1, alive in any container) with a sentinel file inside.
+    val foreign = new java.io.File(base, "1")
+    foreign.mkdirs()
+    val sentinel = new java.io.File(foreign, "sentinel")
+    sentinel.createNewFile()
     val livePid = ProcessHandle.current().pid().toString
     val live = new java.io.File(base, livePid)
 
@@ -28,8 +35,12 @@ class MainSpec extends AnyFunSuite {
 
     assert(!dead.exists(), "dead-pid dir not swept")
     assert(!legacy.exists(), "legacy non-pid dir not swept")
+    assert(foreign.isDirectory && sentinel.exists(),
+      "live foreign-pid dir (or its contents) was swept")
     // either tmpfs was >50% used (fallback) or we got our per-pid dir
     assert(got == "/tmp" || (live.isDirectory && got == live.getAbsolutePath),
       s"unexpected localDir: $got")
+    // leave no leftovers for other suites
+    sentinel.delete(); foreign.delete()
   }
 }

@@ -497,10 +497,14 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
-    // P2-P4: mention detection + normalization over documents (custom
-    // detector — rows-only). The synthetic docs are all-lowercase, so a
-    // fixed word set is deterministically proper-cased first to give the
-    // capitalized-span detector real entity-like surfaces.
+    // P2-P4: mention detection + normalization over documents. The
+    // synthetic docs are all-lowercase, so a fixed word set is
+    // deterministically proper-cased first to give the capitalized-span
+    // detector real entity-like surfaces. Oracle-exact: DuckDB
+    // independently re-derives the detector — tokenize the SAME
+    // proper-cased text, cumulative char offsets, maximal capitalized
+    // runs via gaps-and-islands, runs of 6+ tokens dropped (the
+    // detector's 1..5 length rule) — no pinned fixture needed.
     "q_mentions" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("ctext", concat_ws(" ",
@@ -515,6 +519,40 @@ object SparkEntry {
           normalize_name(col("m.name")).as("name_norm"))
         .filter(length(col("name_norm")) >= 2)
         .orderBy("doc_id", "begin")
+    }),
+
+    // J1→W2→W1: nel's characteristic candidate-generation → top-N →
+    // argmax-resolve linking chain (nelspark.pipeline.Linker.link over
+    // nelspark.model.ModelTables), oracle-exact end to end. The labeled
+    // set is derived deterministically from orders×customer with a lossy
+    // alias key (mktsegment + custkey%40 → 2..14 entities per name, so
+    // the top-8 cutoff really binds); every 10th order is a mention to
+    // link. Context features are empty (ctx_cos = 0) so DuckDB can
+    // re-derive the whole chain: P(e), P(e|name), salted alias join,
+    // top-N by P(e|name), linear score, argmax + NIL threshold.
+    "q_candidates" -> ((s, dir) => {
+      import s.implicits._
+      val labeled = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("mention_id"),
+          col("o_orderkey").cast("string").as("url"),
+          concat(lower(col("c_mktsegment")), lit(" "),
+            (col("c_custkey") % 40).cast("string")).as("name_norm"),
+          col("c_custkey").as("entity_id"))
+      val mentions = labeled.filter(col("mention_id") % 10 === 0)
+        .select("mention_id", "url", "name_norm")
+      val noPageTerms = Seq.empty[(String, String, Double)]
+        .toDF("url", "term", "w")
+      val noTfidf = Seq.empty[(Long, String, Double)]
+        .toDF("entity_id", "term", "w")
+      nelspark.pipeline.Linker.link(mentions, noPageTerms,
+          nelspark.model.ModelTables.aliases(labeled),
+          nelspark.model.ModelTables.entityPrior(labeled),
+          nelspark.model.ModelTables.nameProb(labeled),
+          noTfidf, nelspark.pipeline.Linker.Weights(tauNil = 0.08))
+        .select(col("mention_id"), col("entity_id"),
+          round(col("score"), 9).as("score"), col("is_nil"))
+        .orderBy("mention_id")
     }),
 
     // J2: within-doc coref chaining (local union-find in flatMapGroups —
@@ -893,6 +931,89 @@ object SparkEntry {
         |count(*) / (sum(count(*)) OVER (PARTITION BY c_mktsegment)) AS p
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // Independent re-derivation of the full Linker.link chain: the same
+    // labeled set, P(e) / P(e|name) model tables, top-8 candidate cutoff
+    // by P(e|name), linear score (ctx term empty → 0), argmax per
+    // mention with smaller-entity tie-break, NIL below τ=0.08.
+    "q_candidates" ->
+      """WITH labeled AS (
+        |  SELECT o_orderkey AS mention_id, c_custkey AS entity_id,
+        |    lower(c_mktsegment) || ' ' || CAST(c_custkey % 40 AS VARCHAR)
+        |      AS name_norm
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |prior AS (
+        |  SELECT entity_id,
+        |    count(*) / (SELECT count(*) FROM labeled) AS p_prior
+        |  FROM labeled GROUP BY 1),
+        |np AS (
+        |  SELECT name_norm, entity_id,
+        |    cnt / sum(cnt) OVER (PARTITION BY name_norm) AS p_name
+        |  FROM (SELECT name_norm, entity_id, count(*) AS cnt
+        |        FROM labeled GROUP BY 1,2)),
+        |mentions AS (
+        |  SELECT mention_id, name_norm FROM labeled WHERE mention_id % 10 = 0),
+        |cands AS (
+        |  SELECT m.mention_id, np.entity_id, np.p_name,
+        |    row_number() OVER (PARTITION BY m.mention_id
+        |      ORDER BY np.p_name DESC, np.entity_id ASC) AS rk
+        |  FROM mentions m JOIN np USING (name_norm)),
+        |feats AS (
+        |  SELECT mention_id, c.entity_id,
+        |    coalesce(p.p_prior, 0) AS p_prior, p_name
+        |  FROM cands c LEFT JOIN prior p ON c.entity_id = p.entity_id
+        |  WHERE rk <= 8),
+        |scored AS (
+        |  SELECT mention_id, entity_id,
+        |    0.2 * p_prior + 0.4 * p_name + 0.4 * 0.0 AS score
+        |  FROM feats),
+        |best AS (
+        |  SELECT mention_id, entity_id, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY mention_id
+        |      ORDER BY score DESC, entity_id ASC) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT m.mention_id,
+        |  CASE WHEN b.entity_id IS NULL OR b.score < 0.08 THEN NULL
+        |       ELSE b.entity_id END AS entity_id,
+        |  round(coalesce(b.score, 0.0), 9) AS score,
+        |  (b.entity_id IS NULL OR b.score < 0.08) AS is_nil
+        |FROM mentions m LEFT JOIN best b USING (mention_id)
+        |ORDER BY m.mention_id""".stripMargin,
+
+    // Independent re-derivation of the capitalized-span mention detector:
+    // proper-case the same fixed word set, tokenize by single space,
+    // cumulative char offsets, maximal capitalized runs via
+    // gaps-and-islands, runs longer than 5 tokens dropped entirely.
+    "q_mentions" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(l) AS tok0, unnest(range(1, len(l)+1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |ctoks AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN tok0 IN ('spark','customer','table','window','query')
+        |      THEN upper(tok0[1]) || tok0[2:] ELSE tok0 END AS tok
+        |  FROM toks),
+        |off AS (
+        |  SELECT doc_id, i, tok,
+        |    CAST(coalesce(sum(length(tok) + 1) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS INTEGER) AS begin_off,
+        |    (tok IN ('Spark','Customer','Table','Window','Query')) AS iscap
+        |  FROM ctoks),
+        |isl AS (
+        |  SELECT *, i - row_number() OVER (
+        |    PARTITION BY doc_id, iscap ORDER BY i) AS grp
+        |  FROM off),
+        |runs AS (
+        |  SELECT doc_id, grp, count(*) AS rl,
+        |    CAST(min(begin_off) AS INTEGER) AS "begin",
+        |    CAST(max(begin_off + length(tok)) AS INTEGER) AS "end",
+        |    string_agg(tok, ' ' ORDER BY i) AS name
+        |  FROM isl WHERE iscap GROUP BY doc_id, grp)
+        |SELECT doc_id, "begin", "end", name, lower(name) AS name_norm
+        |FROM runs WHERE rl BETWEEN 1 AND 5 AND length(lower(name)) >= 2
+        |ORDER BY doc_id, "begin"""".stripMargin,
 
     "q_term_df" ->
       """SELECT term, count(DISTINCT doc_id) AS df FROM (
@@ -1340,12 +1461,11 @@ object SparkEntry {
         |        FROM ids LEFT JOIN lbl ON lbl.n = ids.mention_id),
         |c AS (SELECT cid, count(*) AS sz FROM asg GROUP BY cid)
         |SELECT sz, count(*) AS n_chains FROM c GROUP BY sz ORDER BY sz""".stripMargin
-    // q_ann_lsh / q_ann_ivf / q_mentions / q_approx_distinct /
-    // q_media_frames / q_pipeline_f1: custom-kernel / iterative /
-    // approximate / stub-decoder / end-to-end operators — rows-only
-    // check by design (q_pipeline_f1's VALUE is gated in SparkEntrySpec
-    // at F1 >= 0.99; ANN recall in AnnSpec; the mention detector against
-    // golden vectors in ExprSpec).
+    // q_ann_lsh / q_ann_ivf / q_approx_distinct / q_media_frames /
+    // q_pipeline_f1: iterative / approximate / stub-decoder / end-to-end
+    // operators — rows-only check by design (q_pipeline_f1's VALUE is
+    // gated in SparkEntrySpec at F1 >= 0.99; ANN recall in AnnSpec; HLL
+    // accuracy within ±5% of exact in OpsSpec).
   )
 
   def oracleSql: Map[String, String] = oracleList.toMap

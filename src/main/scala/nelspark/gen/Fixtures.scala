@@ -1,5 +1,8 @@
 package nelspark.gen
 
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import nelspark.functions._
@@ -13,52 +16,155 @@ import nelspark.functions._
  * the hash computation itself is gated by property tests (ExprSpec band
  * collisions), while the relational logic downstream of it — banded
  * self-join, pair dedup, transitive closure — is verified cross-engine.
+ *
+ * SELF-VALIDATING PIN (round-3 verdict #4 / advice): because both
+ * engines read the same fixture bytes, a stale fixture from an older
+ * kernel version would satisfy the oracle vacuously. Each fixture dir
+ * therefore carries a `_FIXTURE_TAG` sidecar = md5(generation params |
+ * md5 of every compiled class under nelspark/expr | input parquet file
+ * metadata). A recompiled kernel, changed params, or regenerated input
+ * all change the tag, and a mismatch regenerates the fixture atomically
+ * (temp dir + rename, the Conll.ensureShards contract) — no manual `rm`
+ * needed, and readers never observe a half-written fixture.
  */
 object Fixtures {
 
+  /** md5 over all compiled class bytes under nelspark/expr (sorted).
+    * Any kernel/expression recompile — even one producing subtly
+    * different hashes — yields a new tag. Works from a classes dir (sbt)
+    * or a jar (spark-submit). */
+  private lazy val kernelHash: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val loc = new File(nelspark.expr.Kernels.getClass
+      .getProtectionDomain.getCodeSource.getLocation.toURI)
+    if (loc.isDirectory) {
+      val base = new File(loc, "nelspark/expr")
+      Option(base.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".class")).sortBy(_.getName)
+        .foreach(f => md.update(Files.readAllBytes(f.toPath)))
+    } else {
+      val zip = new java.util.zip.ZipFile(loc)
+      try {
+        import scala.jdk.CollectionConverters._
+        zip.entries().asScala
+          .filter(e => e.getName.startsWith("nelspark/expr/") &&
+            e.getName.endsWith(".class"))
+          .toSeq.sortBy(_.getName)
+          .foreach { e =>
+            val is = zip.getInputStream(e)
+            try {
+              val buf = new Array[Byte](8192)
+              var r = is.read(buf)
+              while (r > 0) { md.update(buf, 0, r); r = is.read(buf) }
+            } finally is.close()
+          }
+      } finally zip.close()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Stable fingerprint of the input parquet (file or dir): per-file
+    * name, length, mtime — regeneration of the testdata flips it. */
+  private def inputMeta(path: String): String = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File])
+          .filter(_.isFile).sortBy(_.getName)
+      else Array(f)
+    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString(",")
+  }
+
+  /** The expected `_FIXTURE_TAG` value for (params, input). Exposed for
+    * the staleness spec. */
+  def tag(params: String, inputPath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$params|$kernelHash|${inputMeta(inputPath)}"
+      .getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  private def tagOk(dir: String, expected: String): Boolean = {
+    val tagFile = new File(dir, "_FIXTURE_TAG")
+    new File(dir, "_SUCCESS").exists() && tagFile.exists() &&
+      new String(Files.readAllBytes(tagFile.toPath), "UTF-8").trim == expected
+  }
+
+  /** Validate-or-regenerate: `gen` writes the fixture parquet into the
+    * temp path it is handed; the tag sidecar is added and the whole dir
+    * atomically renamed into place. Returns `dir`. */
+  def ensurePinned(dir: String, tagValue: String)(gen: String => Unit): String = {
+    if (!tagOk(dir, tagValue)) {
+      val pid = ProcessHandle.current().pid()
+      val name = Paths.get(dir).getFileName.toString
+      // sweep leftovers of crashed prior swaps (same naming scheme)
+      Option(Paths.get(dir).toAbsolutePath.getParent.toFile.listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.matches(
+          java.util.regex.Pattern.quote(name) + "\\.(tmp|old)\\.\\d+"))
+        .foreach(rmTree)
+      val tmp = s"$dir.tmp.$pid"
+      gen(tmp)
+      Files.write(Paths.get(tmp, "_FIXTURE_TAG"),
+        tagValue.getBytes("UTF-8"))
+      try {
+        val target = Paths.get(dir)
+        val old = Paths.get(s"$dir.old.$pid")
+        if (Files.exists(target))
+          Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+        rmTree(old.toFile)
+      } catch {
+        // a concurrent JVM can win the swap race; if what it installed
+        // carries our tag, its fixture is byte-equivalent — accept it
+        case _: java.io.IOException if tagOk(dir, tagValue) =>
+          rmTree(new File(s"$dir.tmp.$pid"))
+      }
+    }
+    dir
+  }
+
   /** (doc_id, band, bh) MinHash band keys of the sf0.001 documents table
     * (8-gram shingles, 12 hashes, 4 bands, seed 42 — the q_minhash_pairs
-    * configuration). Idempotent: skipped when the parquet _SUCCESS marker
-    * exists, so the bytes are pinned for the round. */
+    * configuration). */
   def ensureMinhashBands(spark: SparkSession, docsParquet: String,
-      dir: String): String = {
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      dir: String): String =
+    ensurePinned(dir, tag("minhash_bands:8:12:42:4", docsParquet)) { tmp =>
       spark.read.parquet(docsParquet)
         .select(col("doc_id"), posexplode(
           minhash_bands(
             minhash_ngrams(lower(col("text")), 8, 12, 42L), 4))
           .as(Seq("band", "bh")))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    dir
-  }
 
   /** (doc_id, fp) rolling-hash document fingerprints of the sf0.001
-    * documents table (window 5 — the q_fingerprint configuration).
-    * Same pinning contract as [[ensureMinhashBands]]. */
+    * documents table (window 5 — the q_fingerprint configuration). */
   def ensureFingerprints(spark: SparkSession, docsParquet: String,
-      dir: String): String = {
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      dir: String): String =
+    ensurePinned(dir, tag("fingerprints:5", docsParquet)) { tmp =>
       spark.read.parquet(docsParquet)
         .select(col("doc_id"), doc_fingerprint(col("text"), 5).as("fp"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    dir
-  }
 
   /** (doc_id, sh) 64-bit SimHash fingerprints over whitespace tokens of
-    * the sf0.001 documents table (the q_simhash_pairs configuration).
-    * Same pinning contract as [[ensureMinhashBands]]. */
+    * the sf0.001 documents table (the q_simhash_pairs configuration). */
   def ensureSimhash(spark: SparkSession, docsParquet: String,
-      dir: String): String = {
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      dir: String): String =
+    ensurePinned(dir, tag("simhash:ws", docsParquet)) { tmp =>
       spark.read.parquet(docsParquet)
         .select(col("doc_id"),
           simhash64(split(lower(col("text")), "\\s+")).as("sh"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    dir
-  }
 
   /** (mention_id, url, name_norm) detector output over the sf0.001
     * documents (the q_coref_chains derivation: proper-cased word set →
@@ -66,10 +172,10 @@ object Fixtures {
     * re-derive the within-doc coref CHAINS independently (compatibility
     * predicate in SQL + recursive-CTE transitive closure), so the J2
     * union-find clustering is verified cross-engine, not just the
-    * kernel. Same pinning contract as [[ensureMinhashBands]]. */
+    * kernel. */
   def ensureCorefMentions(spark: SparkSession, docsParquet: String,
-      dir: String): String = {
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      dir: String): String =
+    ensurePinned(dir, tag("coref_mentions:v1", docsParquet)) { tmp =>
       spark.read.parquet(docsParquet)
         .withColumn("ctext", concat_ws(" ",
           transform(split(col("text"), "\\s+"), w =>
@@ -81,10 +187,8 @@ object Fixtures {
         .select(xxhash64(col("url"), col("m.begin")).as("mention_id"),
           col("url"), normalize_name(col("m.name")).as("name_norm"))
         .filter(length(col("name_norm")) >= 2)
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    dir
-  }
 
   /** The banded candidate pairs (a_id < b_id, distinct) over a band-key
     * table — shared by q_minhash_pairs and q_er_doc_clusters so both

@@ -71,6 +71,36 @@ class OpsSpec extends SparkSpec {
     assert(tau > 0.3 && tau < 0.95)
   }
 
+  test("A3 scale path: HLL approx-distinct within ±5% of exact per group") {
+    // the same gated-accuracy treatment ANN recall gets: the approximate
+    // operator (ModelTables.termDf(approx=true) and the q_approx_distinct
+    // configuration) must track the exact counts, not merely run
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id").cast("string").as("url"), col("text"))
+    val joined = ModelTables.termDf(docs).withColumnRenamed("df", "df_exact")
+      .join(ModelTables.termDf(docs, approx = true)
+        .withColumnRenamed("df", "df_approx"), "term")
+      .collect()
+    assert(joined.length > 10, s"unexpected term count ${joined.length}")
+    joined.foreach { r =>
+      val e = r.getAs[Long]("df_exact"); val a = r.getAs[Long]("df_approx")
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"term ${r.getAs[String]("term")}: approx=$a exact=$e")
+    }
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("a"),
+        countDistinct("user_id").as("e"))
+      .collect()
+    assert(ev.nonEmpty)
+    ev.foreach { r =>
+      val a = r.getAs[Long]("a"); val e = r.getAs[Long]("e")
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"${r.get(0)}: approx=$a exact=$e")
+    }
+  }
+
   test("media plumbing: metadata, features, frame sampling (stub decode)") {
     val media = Seq(
       (1L, "image", "imgbytes-aaaa".getBytes("UTF-8")),

@@ -43,6 +43,39 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("pinned fixtures self-validate: stale/corrupt tag regenerates") {
+    // round-3 verdict #4: a stale /tmp fixture from an older kernel
+    // version must regenerate instead of silently satisfying the oracle
+    import nelspark.gen.Fixtures
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val dir = "/tmp/graft_fixture_selfcheck.parquet"
+    def rows() = spark.read.parquet(dir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    Fixtures.ensureFingerprints(spark, docs, dir)
+    val fresh = rows()
+    val tagPath = java.nio.file.Paths.get(dir, "_FIXTURE_TAG")
+    val goodTag = java.nio.file.Files.readString(tagPath)
+    assert(goodTag == Fixtures.tag("fingerprints:5", docs))
+    // 1) unchanged tag → no rewrite (part-file mtimes stable)
+    def partState() = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = partState()
+    Fixtures.ensureFingerprints(spark, docs, dir)
+    assert(partState() == before, "valid fixture was rewritten")
+    // 2) corrupted tag (simulates an older-kernel fixture) → regenerate
+    java.nio.file.Files.writeString(tagPath, "stale-kernel-tag")
+    Fixtures.ensureFingerprints(spark, docs, dir)
+    assert(java.nio.file.Files.readString(tagPath) == goodTag,
+      "stale tag not regenerated")
+    assert(rows() == fresh, "regenerated fixture differs")
+    // 3) missing _SUCCESS (half-written fixture) → regenerate
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    Fixtures.ensureFingerprints(spark, docs, dir)
+    assert(new java.io.File(dir, "_SUCCESS").exists() && rows() == fresh)
+  }
+
   test("representative queries are deterministic across shuffle widths") {
     // covers each operator family whose output could plausibly depend on
     // partitioning: iterative CC, custom-hash LSH/minhash, IVF (seeded

@@ -256,6 +256,10 @@ object Main {
       graft.SparkEntry.queries("q_ann_ivf")(spark, "/root/testdata/sf0.001"))
     put("q_simhash_pairs (Manku-banded simhash: bucket purge anti-join + band self-join)",
       graft.SparkEntry.queries("q_simhash_pairs")(spark, "/root/testdata/sf0.001"))
+    put("q_prior (global total via broadcast 1-row cross-join — no single-partition window exchange)",
+      graft.SparkEntry.queries("q_prior")(spark, "/root/testdata/sf0.001"))
+    put("q_candidates (J1 salted alias join -> W2 top-N -> W1 argmax + NIL)",
+      graft.SparkEntry.queries("q_candidates")(spark, "/root/testdata/sf0.001"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(s"[explain] wrote $outPath")
     spark.stop()

@@ -878,6 +878,69 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // LLM-pipeline: deterministic md5-bucket train/val/test split.
+    // Map-side only (no shuffle); the assignment is a pure function of
+    // doc_id, so it is stable across engines, runs, and scales — the
+    // property a 100-TB training-data split actually needs (a random()
+    // split is neither resumable nor reproducible). Buckets are the
+    // first md5 hex byte: < 0xcc train (~80%), < 0xe6 val (~10%),
+    // rest test (~10%).
+    "q_split_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+        .withColumn("split",
+          when(col("bucket") < "cc", lit("train"))
+            .when(col("bucket") < "e6", lit("val"))
+            .otherwise(lit("test")))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
+    // LLM-pipeline: PII redaction (emails / phone numbers → placeholder
+    // tokens) with per-doc redaction counts. The synthetic corpus holds
+    // no real PII, so a deterministic email+phone is derived from
+    // doc_id and prepended — every row then exercises the redaction
+    // regexes in BOTH engines (Java regex vs RE2; the patterns are kept
+    // in the common dialect). Map-side only — scales.
+    "q_pii_redact" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      t(s, dir, "documents")
+        .withColumn("s", concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" "), substring(col("text"), 1, 40)))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("s"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("s"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("s"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-pipeline: symmetric int8 embedding quantization (max-abs
+    // scale per vector, round-half-up as floor(x+0.5) — identical IEEE
+    // double semantics in both engines, unlike round()'s tie rules).
+    // Output exploded to all-int (vec_id, pos, q) so the cross-engine
+    // hash never touches a float. Map-side only — scales; this is the
+    // storage-shrink step before ANN indexing (4x smaller vectors).
+    "q_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          floor(col("col").cast("double") * col("scale") + 0.5)
+            .cast("int").as("q"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // Flagship (north rule): the full ER pipeline — extraction →
     // blocking → scoring → transitive clustering → pairwise F1 — on a
     // fixed 2k-page generated corpus. 1 row; PipelineSpec gates the
@@ -1460,7 +1523,43 @@ object SparkEntry {
         |asg AS (SELECT ids.mention_id, coalesce(lbl.cid, ids.mention_id) AS cid
         |        FROM ids LEFT JOIN lbl ON lbl.n = ids.mention_id),
         |c AS (SELECT cid, count(*) AS sz FROM asg GROUP BY cid)
-        |SELECT sz, count(*) AS n_chains FROM c GROUP BY sz ORDER BY sz""".stripMargin
+        |SELECT sz, count(*) AS n_chains FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "q_split_hash" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same deterministic PII synthesis (pure function of doc_id), then
+    // RE2 redaction — patterns kept in the Java/RE2 common dialect
+    "q_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id, concat('contact user', doc_id,
+        |    '@mail.example.com tel +1-555-',
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    ' ', substr(text, 1, 40)) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(s,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // identical double-precision arithmetic on both sides: float -> cast
+    // double -> *scale -> floor(x+0.5) -> int; all-int output
+    "q_quantize_int8" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0)
+        |SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * scale + 0.5) AS INTEGER) AS q
+        |FROM sc ORDER BY vec_id, pos""".stripMargin
     // q_ann_lsh / q_ann_ivf / q_approx_distinct / q_media_frames /
     // q_pipeline_f1: iterative / approximate / stub-decoder / end-to-end
     // operators — rows-only check by design (q_pipeline_f1's VALUE is

@@ -43,6 +43,37 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("split/redact/quantize invariants at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // q_split_hash: pinned md5-bucket counts — a pure function of doc_id,
+    // so these exact counts hold for any engine/run/partitioning
+    val sp = graft.SparkEntry.queries("q_split_hash")(spark, dir)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp == Map("train" -> 397L, "val" -> 49L, "test" -> 54L),
+      s"split counts drifted: $sp")
+    // q_pii_redact: every row had exactly one email + one phone injected;
+    // after redaction neither pattern (nor any '@') survives
+    val red = graft.SparkEntry.queries("q_pii_redact")(spark, dir).cache()
+    try {
+      assert(red.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1)
+        .count() == 0, "injected PII not counted 1+1")
+      assert(red.filter(col("redacted").contains("@") ||
+        col("redacted").rlike("\\+1-555-[0-9]{4}")).count() == 0,
+        "PII survived redaction")
+    } finally red.unpersist()
+    // q_quantize_int8: symmetric max-abs scaling ⇒ |q| ≤ 127 everywhere
+    // and every vector's max |q| is exactly 127
+    val q = graft.SparkEntry.queries("q_quantize_int8")(spark, dir).cache()
+    try {
+      assert(q.filter(abs(col("q")) > 127).count() == 0, "|q| > 127")
+      val offPeak = q.groupBy("vec_id").agg(max(abs(col("q"))).as("m"))
+        .filter(col("m") =!= 127).count()
+      assert(offPeak == 0, s"$offPeak vectors missing the 127 peak")
+    } finally q.unpersist()
+  }
+
   test("pinned fixtures self-validate: stale/corrupt tag regenerates") {
     // round-3 verdict #4: a stale /tmp fixture from an older kernel
     // version must regenerate instead of silently satisfying the oracle

@@ -34,16 +34,22 @@ object Ann {
       .select("q_id", "rn", "n_id", "sim")
   }
 
+  /** (vec_id, tbl, bkt) sign-LSH bucket keys — one SignLshBuckets call
+    * per row + posexplode (index = table id). Shared by [[lshTopK]]
+    * (inline) and [[nelspark.gen.Fixtures.ensureLshBuckets]] (pinned
+    * cross-engine fixture). */
+  def lshBuckets(df: DataFrame, tables: Int, bits: Int,
+      seed: Long): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(sign_lsh_buckets(col("embedding"), tables, bits, seed))
+        .as(Seq("tbl", "bkt")))
+
   /** LSH-bucketed approximate top-k: candidates from bucket collisions
     * across `tables` sign-LSH tables, exact re-rank of candidates. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
-    // one SignLshBuckets call per row + posexplode (index = table id)
-    // replaces a per-table union of dim×bits arithmetic Column trees
     def withBuckets(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName),
-        posexplode(sign_lsh_buckets(col("embedding"), tables, bits, seed))
-          .as(Seq("tbl", "bkt")))
+      lshBuckets(df, tables, bits, seed).withColumnRenamed("vec_id", idName)
     // candidate ids only through the collision join + pair dedup — the
     // embedding arrays (~0.5 KB/row) would otherwise ride every shuffle
     // ×tables (round-3 verdict #3, mirroring Score's drop-names-before-
@@ -62,6 +68,39 @@ object Ann {
         col("embedding").as("n_emb")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine_sim(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "sim")
+  }
+
+  /** [[lshTopK]] with the bucket keys supplied as a table (the pinned
+    * cross-engine fixture path): same collision join → pair dedup →
+    * exact re-rank, but the similarity is ROUNDED to 6 decimals BEFORE
+    * ranking so the rank order is reproducible in any engine computing
+    * cosine to ≥ 1e-6 (the q_ann_topk parity contract — ranking on the
+    * raw double would let a sub-ULP disagreement flip near-ties).
+    *
+    * @param buckets (vec_id, tbl, bkt) for every corpus vector
+    * @param queries subset of corpus rows serving as queries (bounded —
+    *                broadcast for the vector join-back, as in lshTopK)
+    */
+  def lshTopKPinned(buckets: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val qIds = queries.select(col("vec_id").as("q_id"))
+    val qb = buckets.join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("tbl"), col("bkt"))
+    val nb = buckets.select(col("vec_id").as("n_id"), col("tbl"), col("bkt"))
+    val cands = qb.join(nb, Seq("tbl", "bkt"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine_sim(col("q_emb"), col("n_emb")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "sim")
@@ -86,22 +125,19 @@ object Ann {
    * the corpus with the centroid table and took the argmax with a
    * row_number window, hash-shuffling |corpus|×nlist rows per step.
    */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 8, iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The IVF coarse-quantizer TRAINING extracted so [[ivfTopK]] (inline)
+    * and [[nelspark.gen.Fixtures.ensureIvf]] (pinned fixture) share one
+    * definition. Input must carry (n_id, n_emb). Returns the post-Lloyd
+    * centroid matrix — nlist×dim floats, kilobytes, driver-resident. */
+  def trainIvf(c: DataFrame, nlist: Int, iters: Int,
+      seed: Long): Array[Array[Float]] = {
+    val spark = c.sparkSession
     import spark.implicits._
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-
     // deterministic init: nlist corpus vectors in xxhash64(id, seed) order
     var cent: Array[Array[Float]] = c
       .withColumn("hk", xxhash64(col("n_id"), lit(seed)))
       .orderBy("hk", "n_id").limit(nlist)
       .select("n_emb").as[Array[Float]].collect()
-
-    // map-side nearest-cell id under the CURRENT centroid matrix
-    def cellOf(embCol: Column): Column =
-      element_at(nearest_cells(embCol, cent, 1), 1)
 
     // Lloyd refinement: elementwise mean per cell (empty cells drop out
     // and surviving cells are renumbered densely — ids are internal;
@@ -113,7 +149,7 @@ object Ann {
     // partition-independent.
     for (_ <- 0 until iters) {
       cent = c
-        .select(cellOf(col("n_emb")).as("cell"),
+        .select(element_at(nearest_cells(col("n_emb"), cent, 1), 1).as("cell"),
           posexplode(col("n_emb")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(round(avg("v"), 5).as("mv"))
         .groupBy("cell")
@@ -121,6 +157,18 @@ object Ann {
           x => x.getField("mv").cast("float")).as("c_emb"))
         .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     }
+    cent
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val cent = trainIvf(c, nlist, iters, seed)
+
+    // map-side nearest-cell id under the trained centroid matrix
+    def cellOf(embCol: Column): Column =
+      element_at(nearest_cells(embCol, cent, 1), 1)
 
     val corpusCells = c.withColumn("cell", cellOf(col("n_emb")))
 
@@ -136,6 +184,30 @@ object Ann {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine_sim(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "sim")
+  }
+
+  /** [[ivfTopK]] with the coarse quantizer supplied pinned (the
+    * cross-engine fixture path): `cells` are the pinned (n_id, cell)
+    * corpus assignments, `cent` the pinned centroid matrix. The query
+    * PROBE still runs the map-side NearestCells kernel against `cent`;
+    * the oracle re-derives it from the same pinned matrix. Similarity is
+    * rounded to 6 decimals BEFORE ranking (see [[lshTopKPinned]]). */
+  def ivfTopKPinned(cells: DataFrame, cent: Array[Array[Float]],
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val withVecs = cells.join(
+      corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      Seq("n_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = q.select(col("q_id"), col("q_emb"),
+      explode(nearest_cells(col("q_emb"), cent, nprobe)).as("cell"))
+    val scored = withVecs.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine_sim(col("q_emb"), col("n_emb")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "sim")

@@ -97,6 +97,23 @@ object Fixtures {
       new String(Files.readAllBytes(tagFile.toPath), "UTF-8").trim == expected
   }
 
+  /** True iff the pid embedded in a `<name>.tmp.<pid>` / `<name>.old.<pid>`
+    * leftover belongs to a live process — its generation may be in flight,
+    * so the sweep must not delete it (round-4 advice: the previous sweep
+    * could destroy a live sibling JVM's in-progress fixture). Unparsable
+    * suffixes are treated as dead (sweepable). */
+  private[nelspark] def ownerAlive(fileName: String): Boolean = {
+    val pidStr = fileName.substring(fileName.lastIndexOf('.') + 1)
+    try {
+      val pid = pidStr.toLong
+      // our own leftovers are always sweepable (this JVM is not racing
+      // itself; a crashed EARLIER call in this process left them behind)
+      if (pid == ProcessHandle.current().pid()) return false
+      val h = ProcessHandle.of(pid)
+      h.isPresent && h.get.isAlive
+    } catch { case _: NumberFormatException => false }
+  }
+
   /** Validate-or-regenerate: `gen` writes the fixture parquet into the
     * temp path it is handed; the tag sidecar is added and the whole dir
     * atomically renamed into place. Returns `dir`. */
@@ -104,11 +121,14 @@ object Fixtures {
     if (!tagOk(dir, tagValue)) {
       val pid = ProcessHandle.current().pid()
       val name = Paths.get(dir).getFileName.toString
-      // sweep leftovers of crashed prior swaps (same naming scheme)
+      // sweep leftovers of crashed prior swaps (same naming scheme) —
+      // but never a live sibling JVM's in-flight generation (its embedded
+      // pid is still alive)
       Option(Paths.get(dir).toAbsolutePath.getParent.toFile.listFiles())
         .getOrElse(Array.empty[File])
         .filter(_.getName.matches(
           java.util.regex.Pattern.quote(name) + "\\.(tmp|old)\\.\\d+"))
+        .filterNot(f => ownerAlive(f.getName))
         .foreach(rmTree)
       val tmp = s"$dir.tmp.$pid"
       gen(tmp)
@@ -187,6 +207,68 @@ object Fixtures {
         .select(xxhash64(col("url"), col("m.begin")).as("mention_id"),
           col("url"), normalize_name(col("m.name")).as("name_norm"))
         .filter(length(col("name_norm")) >= 2)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** (vec_id, tbl, bkt) sign-LSH bucket keys of an embeddings table
+    * (16 tables × 4 bits, seed 42 — the q_ann_lsh operating point).
+    * Unlike the document fixtures above this pins from the SF-DIR
+    * embeddings (the oracle re-ranks against the same `embeddings` view),
+    * so the tag's input-metadata component regenerates it whenever the
+    * driver switches scale factors. */
+  def ensureLshBuckets(spark: SparkSession, embParquet: String,
+      dir: String): String =
+    ensurePinned(dir, tag("lsh_buckets:16:4:42", embParquet)) { tmp =>
+      spark.read.parquet(embParquet)
+        .select(col("vec_id"), posexplode(
+          nelspark.functions.sign_lsh_buckets(col("embedding"), 16, 4, 42L))
+          .as(Seq("tbl", "bkt")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** IVF coarse-quantizer pin: `cells/` = (n_id, cell) corpus
+    * assignments, `centroids/` = (cell, c_emb) the post-Lloyd centroid
+    * matrix (nlist 16, 2 Lloyd iters, seed 42 — the q_ann_ivf operating
+    * point). DuckDB re-derives the query PROBE from the pinned centroids
+    * (nprobe nearest by cosine, ties → lowest cell — the NearestCells
+    * kernel contract), the inverted-list candidate join from `cells/`,
+    * and the exact top-k re-rank — so only the Lloyd TRAINING is pinned.
+    * NOTE the `:v1` params version: the kernel-hash tag component covers
+    * nelspark/expr only, so a change to Ann.trainIvf must bump it. */
+  def ensureIvf(spark: SparkSession, embParquet: String,
+      dir: String): String =
+    ensurePinned(dir, tag("ivf:v1:16:2:42", embParquet)) { tmp =>
+      val corpus = spark.read.parquet(embParquet)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val cent = nelspark.ann.Ann.trainIvf(corpus, nlist = 16, iters = 2,
+        seed = 42L)
+      import spark.implicits._
+      cent.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cell", "c_emb")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      corpus.select(col("n_id"),
+        element_at(nelspark.functions.nearest_cells(col("n_emb"), cent, 1), 1)
+          .as("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cells")
+      // parquet wrote _SUCCESS inside the subdirs; tagOk wants one at the
+      // fixture root
+      Files.write(Paths.get(tmp, "_SUCCESS"), Array.empty[Byte]): Unit
+    }
+
+  /** Decoded media metadata of the documents-as-video payload set (the
+    * q_media_frames input): the STUB decoder's (media_id, kind, n_bytes,
+    * width, height, n_frames, sample_rate). Pinning it lets DuckDB
+    * re-derive the frame-sampling PLAN (stride-30 indices capped at 16
+    * frames) in closed form — the stub hash itself stays test-gated
+    * (MediaSpec), exactly like the minhash signatures. Same `:v1` caveat
+    * as ensureIvf: the tag's kernel hash does not cover MediaOps. */
+  def ensureMediaMeta(spark: SparkSession, docsParquet: String,
+      dir: String): String =
+    ensurePinned(dir, tag("media_meta:video:v1", docsParquet)) { tmp =>
+      val media = spark.read.parquet(docsParquet)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          to_binary(col("text"), lit("utf-8")).as("payload"))
+      nelspark.media.MediaOps.decodeMeta(media).toDF()
         .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
 

@@ -15,16 +15,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  * order is not a contract in either Spark or DuckDB).
  *
  * Two regroup paths:
- *  - [[tokens]]: running count over a GLOBAL ordered window — one
- *    partition, right-sized for gold-corpus fixtures (CoNLL-YAGO is
- *    ~1400 docs in one bounded file);
+ *  - [[tokens]]: running count over a per-file ordered window — the
+ *    contract is ONE bounded gold-corpus file (CoNLL-YAGO is ~1400 docs
+ *    in one file), so this is a single partition in practice without a
+ *    no-partition global window in the plan;
  *  - [[tokensMultiFile]]: the 100-TB shape — per-FILE windows keyed by
  *    `input_file_name()` plus a two-pass boundary-offset join: pass 1
  *    aggregates one tiny row per file (doc count, first line) and
- *    prefix-sums the doc offsets; pass 2 broadcasts the offsets back so
- *    every file regroups independently in parallel. A doc (or mention)
- *    split across a file boundary lands in the previous file's last doc
- *    index by construction (leading tokens have local doc count 0).
+ *    prefix-sums the doc offsets on the driver (bounded: 1 row/file);
+ *    pass 2 broadcasts the offsets back so every file regroups
+ *    independently in parallel. A doc (or mention) split across a file
+ *    boundary lands in the previous file's last doc index by
+ *    construction (leading tokens have local doc count 0).
  *    ConllSpec asserts multi-file ≡ single-file mentions.
  */
 object Conll {
@@ -94,12 +96,15 @@ object Conll {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(): Unit
     }
-    // sweep leftovers of crashed prior swaps (same naming scheme)
+    // sweep leftovers of crashed prior swaps (same naming scheme) — but
+    // never a live sibling JVM's in-flight generation (round-4 advice:
+    // its embedded pid is still alive)
     Option(Paths.get(dir).getParent.toFile.listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.matches(
         java.util.regex.Pattern.quote(Paths.get(dir).getFileName.toString) +
           "\\.(tmp|old)\\.\\d+"))
+      .filterNot(f => nelspark.gen.Fixtures.ownerAlive(f.getName))
       .foreach(rmTree)
     val tmpDir = Paths.get(s"$dir.tmp.$pid")
     Files.createDirectories(tmpDir)
@@ -109,12 +114,28 @@ object Conll {
       val to = math.min((i + 1) * per, lines.size)
       Files.write(tmpDir.resolve(f"shard$i%03d.tsv"), lines.subList(from, to))
     }
+    // the installed set is valid iff it is exactly the nShards files this
+    // call would write — the fixture bytes are deterministic, so a
+    // concurrent JVM's winning swap installed a byte-equivalent set
+    def installedOk: Boolean = {
+      val fs = Option(Paths.get(dir).toFile.listFiles())
+        .getOrElse(Array.empty).map(_.getName).sorted
+      fs.sameElements((0 until nShards).map(i => f"shard$i%03d.tsv"))
+    }
     val target = Paths.get(dir)
     val old = Paths.get(s"$dir.old.$pid")
-    if (Files.exists(target))
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmpDir, target, StandardCopyOption.ATOMIC_MOVE)
-    rmTree(old.toFile)
+    try {
+      if (Files.exists(target))
+        Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmpDir, target, StandardCopyOption.ATOMIC_MOVE)
+      rmTree(old.toFile)
+    } catch {
+      // a concurrent JVM can win the swap race (round-4 advice — the
+      // loser's second move throws); its installed set is byte-equivalent
+      // by determinism, so accept it and drop our temp copy
+      case _: java.io.IOException if installedOk =>
+        rmTree(tmpDir.toFile)
+    }
     dir
   }
 
@@ -133,12 +154,17 @@ object Conll {
     * `-DOCSTART-` boundary rows, tok_pos the 0-based position within
     * the doc. */
   def tokens(spark: SparkSession, path: String): DataFrame = {
-    val raw = rawTsv(spark, path)
-    // intentionally single-partition (gold-corpus fixtures are one
-    // bounded file — see header; tokensMultiFile is the scale path).
-    // The explicit lit(0) partition documents that and keeps the
-    // WindowExec single-partition warning reserved for real regressions.
-    val w = Window.partitionBy(lit(0)).orderBy("line_no")
+    // The contract is ONE bounded gold-corpus file (see header;
+    // tokensMultiFile is the scale path), so the running doc count is
+    // partitioned by the file name: semantically the same single
+    // partition, but through a real (non-foldable) key. A literal
+    // partition key would NOT silence the WindowExec no-partition
+    // warning — round-4 verdict verified empirically that Catalyst
+    // optimizes a foldable key away and the warning still fires — and
+    // leaving the warning in the bench tail misleads anyone auditing it
+    // for genuine single-partition regressions.
+    val raw = rawTsv(spark, path).withColumn("fname", input_file_name())
+    val w = Window.partitionBy("fname").orderBy("line_no")
     raw
       .withColumn("doc_idx",
         sum(when(col("token") === "-DOCSTART-", 1L).otherwise(0L)).over(w))
@@ -146,28 +172,38 @@ object Conll {
       .withColumn("tok_pos",
         (row_number().over(Window.partitionBy("doc_idx").orderBy("line_no")) - 1)
           .cast("long"))
+      .drop("fname")
   }
 
   /** Scalable multi-file token regroup (the 100-TB shape — see header).
     * Expects a directory of TSV shards whose `line_no` is globally
     * consistent (shards of one logical corpus). Every window below is
     * keyed by file or by doc — nothing forces a single partition; the
-    * only global window runs over the 1-row-per-file summary. */
+    * cross-file doc-offset prefix sum is a bounded driver-side scan of
+    * the 1-row-per-file summary. */
   def tokensMultiFile(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawTsv(spark, dir).withColumn("fname", input_file_name())
     val isStart = when(col("token") === "-DOCSTART-", 1L).otherwise(0L)
     // pass 1: one tiny row per file → prefix-sum of doc counts in file
-    // order (first global line_no wins; fname tie-break for determinism)
+    // order (first global line_no wins; fname tie-break for determinism).
+    // The prefix sum runs on the DRIVER: the input is 1 row per FILE —
+    // bounded at any corpus scale — and a driver-side scan of it is
+    // honest where a global ordered window over the same rows would both
+    // fire the WindowExec no-partition warning and hide a real
+    // single-partition stage in the plan (round-4 verdict: a foldable
+    // lit(0) partition key does not suppress the warning — Catalyst
+    // optimizes it away).
     val perFile = raw.groupBy("fname").agg(
       sum(isStart).as("n_docs"), min("line_no").as("first_line"))
-    // intentionally single-partition: runs over the 1-row-PER-FILE
-    // summary, not the token rows (lit(0) partition = documented intent,
-    // no spurious WindowExec warning)
-    val wo = Window.partitionBy(lit(0)).orderBy("first_line", "fname")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perFile
-      .withColumn("doc_offset", coalesce(sum("n_docs").over(wo), lit(0L)))
-      .select("fname", "doc_offset")
+      .collect()
+      .sortBy(r => (r.getAs[Long]("first_line"), r.getAs[String]("fname")))
+    var acc = 0L
+    val offsetRows = perFile.map { r =>
+      val off = acc; acc += r.getAs[Long]("n_docs")
+      (r.getAs[String]("fname"), off)
+    }.toSeq
+    import spark.implicits._
+    val offsets = offsetRows.toDF("fname", "doc_offset")
     // pass 2: per-file running count + broadcast offset join
     val wf = Window.partitionBy("fname").orderBy("line_no")
     raw

@@ -55,6 +55,47 @@ class AnnSpec extends SparkSpec {
     assertKPerQuery(approx, 5)
   }
 
+  /** Per-query multiset of ROUNDED sims. Rounding is monotone, so the
+    * pinned paths (which rank on round(sim, 6) for cross-engine
+    * reproducibility) must agree with the inline paths (which rank on
+    * the raw double) on these multisets even where sub-1e-6 near-ties
+    * permute which n_id holds which rank. */
+  private def roundedSims(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select(col("q_id").cast("long"), round(col("sim"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+
+  test("pinned-LSH path matches inline LSH on rounded sims + recall gate") {
+    val buckets = Ann.lshBuckets(emb, tables = 16, bits = 4, seed = 42L)
+    val pinned = Ann.lshTopKPinned(buckets, queries, emb, 5).cache()
+    try {
+      val inline = Ann.lshTopK(queries, emb, 5, dim = 64, tables = 16, bits = 4)
+      assert(roundedSims(pinned) == roundedSims(inline),
+        "pinned and inline LSH disagree beyond near-tie permutation")
+      val recall = Ann.recallAtK(Ann.bruteForceTopK(queries, emb, 5), pinned)
+      info(s"pinned lsh recall@5 = $recall")
+      assert(recall >= 0.7, s"recall too low: $recall")
+    } finally pinned.unpersist()
+  }
+
+  test("pinned-IVF path matches inline IVF on rounded sims + recall gate") {
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val cent = Ann.trainIvf(c, nlist = 16, iters = 2, seed = 42L)
+    val cells = c.select(col("n_id"),
+      element_at(nelspark.functions.nearest_cells(col("n_emb"), cent, 1), 1)
+        .as("cell"))
+    val pinned = Ann.ivfTopKPinned(cells, cent, queries, emb, 5, nprobe = 8)
+      .cache()
+    try {
+      val inline = Ann.ivfTopK(queries, emb, 5, nlist = 16, nprobe = 8)
+      assert(roundedSims(pinned) == roundedSims(inline),
+        "pinned and inline IVF disagree beyond near-tie permutation")
+      val recall = Ann.recallAtK(Ann.bruteForceTopK(queries, emb, 5), pinned)
+      info(s"pinned ivf recall@5 = $recall")
+      assert(recall >= 0.6, s"recall too low: $recall")
+      assertKPerQuery(pinned, 5)
+    } finally pinned.unpersist()
+  }
+
   test("IVF is deterministic across partitionings") {
     val a = Ann.ivfTopK(queries.repartition(2), emb.repartition(3), 3)
       .collect().map(_.toString).sorted.toSeq

@@ -1026,7 +1026,7 @@ object SparkEntry {
         .filter(size(col("l")) >= 3)
         .select(col("doc_id"), col("bucket"),
           explode(array_distinct(transform(sequence(lit(1), size(col("l")) - 2),
-            i => concat_ws(" ", slice(col("l"), i, 3))))).as("sh"))
+            i => concat_ws(" ", slice(col("l"), i, lit(3)))))).as("sh"))
       val trainSh = sh.filter(col("bucket") < "cc").select("sh").distinct()
       val evalSh = sh.filter(col("bucket") >= "cc")
       val cont = evalSh.join(trainSh, Seq("sh"), "left_semi")
@@ -1049,7 +1049,7 @@ object SparkEntry {
           filter(split(lower(col("text")), "\\s+"), w => length(w) > 0))
         .filter(size(col("l")) >= 2)
         .withColumn("g", transform(sequence(lit(1), size(col("l")) - 1),
-          i => concat_ws(" ", slice(col("l"), i, 2))))
+          i => concat_ws(" ", slice(col("l"), i, lit(2)))))
         .select(col("doc_id"),
           size(col("g")).cast("long").as("n_2grams"),
           size(array_distinct(col("g"))).cast("long").as("n_distinct"))

@@ -115,8 +115,17 @@ object Block {
    * AQE skew-join splitting remains on as backstop. Returns (pairs, metrics).
    */
   def pairs(keys: DataFrame, mentions: DataFrame, cfg: ErConfig): (DataFrame, DataFrame) = {
-    val sizes = keys.groupBy("block_key").agg(count("*").as("sz"))
-    val k2 = keys.join(sizes, Seq("block_key"))
+    // Block size via an unordered window count, NOT groupBy+join-back:
+    // the agg+join form shuffled the keys subtree twice (once into the
+    // agg, once into the join) and computed the key-generation kernels
+    // (minhash bands posexplode) twice. One window = ONE exchange on
+    // block_key, keys computed once — and the window's hash partitioning
+    // + block_key sort are exactly what the tier-1 self-join below needs,
+    // so it runs exchange-free (guide §2.4: share one exchange between
+    // operations keyed the same way).
+    val k2 = keys.withColumn("sz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("block_key")))
 
     // tier 1: bounded cliques
     val small = k2.filter(col("sz") <= cfg.cliqueMax)
@@ -180,8 +189,8 @@ object Block {
     val p = clique.unionByName(chains)
       .dropDuplicates("a_id", "b_id") // dedupe BEFORE scoring (SET2 barrier)
 
-    val metrics = keys.select("block_key", "pass").distinct()
-      .join(sizes, Seq("block_key")).agg(
+    val metrics = k2.select("block_key", "pass", "sz").distinct()
+      .agg(
         count("*").as("n_blocks"),
         sum(when(col("pass") === "name" &&
           col("sz") > cfg.cliqueMax && col("sz") <= cfg.chainMax, 1L)
@@ -215,8 +224,13 @@ object Tfidf {
     // time, before the caller even acts on the plan (round-2 advice)
     val nDf = extracted.agg(
       approx_count_distinct("url").cast("double").as("n_docs"))
-    val dfT = terms.groupBy("term").agg(count("*").as("df")) // 1 row per (url,term)
-    val weighted = terms.join(dfT, "term")
+    // df falls out of tf as a window count — each (url, term) row IS one
+    // distinct doc (the q_tfidf form): one exchange on term replaces the
+    // groupBy(term) agg + join-back pair, and the tf subtree (tokenize +
+    // explode + first agg) is computed once instead of twice.
+    val weighted = terms
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(nDf))
       .withColumn("w",
         col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
@@ -475,6 +489,14 @@ object Pipeline {
       cfg: ErConfig = ErConfig()): Result = {
     val extracted = Extract(pages)
     val mentions = Mentions(extracted, cfg).cache()
+    // Eager cache fill, ONE job, before the fan-out: downstream the DAG
+    // has ~8 independent AQE leaf stages (clique sides, mega tier, tfidf,
+    // eval join) that are submitted concurrently — against a COLD cache
+    // every one of them recomputes generation+extraction end to end
+    // (measured: 8 × ~15 task-s of duplicated work at 2k pages, >75% of
+    // the flagship's total CPU). One count() materializes mentions (and,
+    // transitively, any cached upstream corpus) exactly once.
+    mentions.count(): Unit
     val keys = Block.keys(mentions, cfg)
     val (pairs, blockMetrics) = Block.pairs(keys, mentions, cfg)
     val vecs = Tfidf.pageVectors(extracted, cfg.ctxTopK)

@@ -154,7 +154,7 @@ object SparkEntry {
 
     // A3: term document frequency over documents (explode/unnest)
     "q_term_df" -> ((s, dir) => {
-      t(s, dir, "documents")
+      fanOut(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("term").agg(countDistinct("doc_id").as("df"))
@@ -169,7 +169,7 @@ object SparkEntry {
     // cross join instead of an eager driver head().
     "q_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val terms = docs
+      val terms = fanOut(docs, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
       val nDf = docs.agg(countDistinct("doc_id").cast("double").as("n_docs"))
@@ -182,14 +182,27 @@ object SparkEntry {
         .limit(500)
     }),
 
-    // W1: argmax per group via row_number window
+    // W1: argmax per group — as max_by partial aggregation. The
+    // row_number-window form (kept verbatim in q_topn, where top-N>1
+    // genuinely needs ranking) sorts EVERY row of the group map-side
+    // before its WindowGroupLimit can drop non-winners; max_by is a hash
+    // aggregate: no sort at any scale, and the shuffle carries one
+    // partial-winner row per (group × map task) instead of the sorted
+    // candidates (guide §2.3 "aggregate before you shuffle"). Result
+    // rows are IDENTICAL: lexicographic max of (qty, -orderkey,
+    // -linenumber) ≡ first row under (qty DESC, orderkey ASC,
+    // linenumber ASC) — all-integer-valued comparisons, no float ties —
+    // re-proved against the unchanged DuckDB oracle.
     "q_window_rank" -> ((s, dir) => {
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_suppkey")
+        .agg(max_by(
+          struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          struct(col("l_quantity"), (-col("l_orderkey")).as("o"),
+            (-col("l_linenumber")).as("l"))).as("w"))
+        .select(col("l_suppkey"), col("w.l_orderkey").as("l_orderkey"),
+          col("w.l_linenumber").as("l_linenumber"),
+          col("w.l_quantity").as("l_quantity"))
         .orderBy("l_suppkey")
     }),
 
@@ -1047,7 +1060,7 @@ object SparkEntry {
     // semi-join, never a doc×doc comparison. Oracle-exact, no fixture:
     // both engines derive shingles from the same normalized tokens.
     "q_decontaminate" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
+      val sh = fanOut(t(s, dir, "documents"), col("doc_id"))
         .withColumn("bucket",
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
         .withColumn("l",

@@ -79,6 +79,15 @@ object Main {
       .config("spark.sql.optimizer.excludedRules",
         sys.env.getOrElse("NELSPARK_EXCLUDED_RULES",
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
+      // allow shuffled-hash joins where a side's per-partition build fits
+      // (guide §3.1/§9): SMJ pays two full sorts that SHJ skips; AQE can
+      // additionally rewrite SMJ→SHJ at runtime under the local-map
+      // threshold. Parameterised; sort-merge remains the spill-safe
+      // fallback above the threshold at any scale.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("NELSPARK_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("NELSPARK_SHJ_LOCALMAP", "64m"))
       // input splits: small dense parquet (≈30MB for 500k mentions) must
       // still fan out across cores
       .config("spark.sql.files.maxPartitionBytes", "16m")

@@ -81,17 +81,26 @@ object Block {
     * pairs and the scorer needs NO join back to the mention table (two
     * fewer 10^?-row shuffles at any scale; no broadcast assumption). */
   def keys(mentions: DataFrame, cfg: ErConfig): DataFrame = {
-    val name = mentions.select(col("mention_id"), col("name_norm"), col("url"),
-      concat(lit("n:"), col("name_norm")).as("block_key"), lit("name").as("pass"))
-    val lsh = mentions
-      .select(col("mention_id"), col("name_norm"), col("url"), posexplode(
-        minhash_bands(
-          minhash_ngrams(col("name_norm"), cfg.ngramN, cfg.minhashK, cfg.seed),
-          cfg.bands)).as(Seq("band", "bh")))
+    // Single pass, not name-branch ∪ lsh-branch: the union form scanned
+    // the mention table twice (two map stages, two reads of the cache /
+    // two passes over 10^12 rows at corpus scale) to emit per row one
+    // name key + `bands` LSH keys. One explode over the concatenated
+    // key array emits the IDENTICAL rows in one scan. Key strings and
+    // the pass column are byte-identical to the old branches (transform
+    // index ≡ posexplode pos).
+    mentions.select(col("mention_id"), col("name_norm"), col("url"),
+      explode(concat(
+        array(struct(concat(lit("n:"), col("name_norm")).as("block_key"),
+          lit("name").as("pass"))),
+        transform(
+          minhash_bands(
+            minhash_ngrams(col("name_norm"), cfg.ngramN, cfg.minhashK, cfg.seed),
+            cfg.bands),
+          (bh, band) => struct(
+            concat(lit("l:"), band, lit(":"), bh).as("block_key"),
+            lit("lsh").as("pass"))))).as("k"))
       .select(col("mention_id"), col("name_norm"), col("url"),
-        concat(lit("l:"), col("band"), lit(":"), col("bh")).as("block_key"),
-        lit("lsh").as("pass"))
-    name.unionByName(lsh)
+        col("k.block_key").as("block_key"), col("k.pass").as("pass"))
   }
 
   /**

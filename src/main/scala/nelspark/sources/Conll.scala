@@ -41,6 +41,16 @@ object Conll {
    */
   def ensureFixture(spark: SparkSession, docsParquet: String, path: String,
       nDocs: Int = 100): String = {
+    // Skip-if-current (optimization round 6): the fixture bytes are a
+    // pure function of (params, input parquet, generator code) — the
+    // same self-validating tag contract as Fixtures.ensurePinned (`:v1`
+    // is the generator-code version; the kernel-hash component covers
+    // nelspark/expr only, so changes HERE must bump it). Previously every
+    // call re-collected the docs and rewrote the file.
+    val tagVal = nelspark.gen.Fixtures.tag(s"conll_tsv:v1:$nDocs", docsParquet)
+    val tagPath = Paths.get(path + ".tag")
+    if (Files.exists(Paths.get(path)) && Files.exists(tagPath) &&
+        Files.readString(tagPath).trim == tagVal) return path
     val docs = spark.read.parquet(docsParquet).select("doc_id", "text")
       .filter(col("doc_id") < nDocs).orderBy("doc_id").collect()
     val sb = new StringBuilder
@@ -72,6 +82,12 @@ object Conll {
     Files.writeString(tmp, sb.toString)
     Files.move(tmp, Paths.get(path),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // tag AFTER the fixture lands: a crash in between leaves a missing/
+    // stale tag and the next call simply regenerates
+    val tagTmp = Paths.get(path + ".tag.tmp." + ProcessHandle.current().pid())
+    Files.writeString(tagTmp, tagVal)
+    Files.move(tagTmp, tagPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     path
   }
 
@@ -89,16 +105,15 @@ object Conll {
     * stale higher-index shard from a wider previous run. */
   def ensureShards(spark: SparkSession, docsParquet: String, dir: String,
       nDocs: Int = 100, nShards: Int = 4): String = {
-    val single = ensureFixture(spark, docsParquet, dir + ".tsv", nDocs)
-    val lines = Files.readAllLines(Paths.get(single))
-    val pid = ProcessHandle.current().pid()
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(): Unit
     }
     // sweep leftovers of crashed prior swaps (same naming scheme) — but
     // never a live sibling JVM's in-flight generation (round-4 advice:
-    // its embedded pid is still alive)
+    // its embedded pid is still alive). Runs BEFORE the skip-if-current
+    // early return so hygiene is preserved even when regeneration is
+    // skipped.
     Option(Paths.get(dir).getParent.toFile.listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.matches(
@@ -106,6 +121,18 @@ object Conll {
           "\\.(tmp|old)\\.\\d+"))
       .filterNot(f => nelspark.gen.Fixtures.ownerAlive(f.getName))
       .foreach(rmTree)
+    // Skip-if-current, same contract as ensureFixture above. The tag's
+    // params cover nShards too, which also closes the name-only
+    // installedOk acceptance gap (a same-name different-size install no
+    // longer passes silently — its tag differs).
+    val shardsTag = nelspark.gen.Fixtures.tag(
+      s"conll_shards:v1:$nDocs:$nShards", docsParquet)
+    val shardsTagPath = Paths.get(dir + ".tag")
+    if (Files.exists(Paths.get(dir)) && Files.exists(shardsTagPath) &&
+        Files.readString(shardsTagPath).trim == shardsTag) return dir
+    val single = ensureFixture(spark, docsParquet, dir + ".tsv", nDocs)
+    val lines = Files.readAllLines(Paths.get(single))
+    val pid = ProcessHandle.current().pid()
     val tmpDir = Paths.get(s"$dir.tmp.$pid")
     Files.createDirectories(tmpDir)
     val per = (lines.size + nShards - 1) / nShards
@@ -136,6 +163,10 @@ object Conll {
       case _: java.io.IOException if installedOk =>
         rmTree(tmpDir.toFile)
     }
+    val tagTmp = Paths.get(s"$dir.tag.tmp.$pid")
+    Files.writeString(tagTmp, shardsTag)
+    Files.move(tagTmp, shardsTagPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     dir
   }
 

@@ -65,6 +65,15 @@ object Tac {
    */
   def ensureFixture(spark: SparkSession, docsParquet: String, base: String,
       nDocs: Int = 50): (String, String, String) = {
+    val (xp0, lp0, tp0) =
+      (s"${base}_queries.xml", s"${base}_links.tsv", s"${base}_twin.tsv")
+    // Skip-if-current — same tag contract as Conll.ensureFixture (`:v1`
+    // = this generator's code version; bump on logic changes here).
+    val tagVal = nelspark.gen.Fixtures.tag(s"tac:v1:$nDocs", docsParquet)
+    val tagPath = Paths.get(base + ".tag")
+    if (Seq(xp0, lp0, tp0).forall(p => Files.exists(Paths.get(p))) &&
+        Files.exists(tagPath) && Files.readString(tagPath).trim == tagVal)
+      return (xp0, lp0, tp0)
     val docs = spark.read.parquet(docsParquet).select("doc_id", "text")
       .filter(col("doc_id") < nDocs).orderBy("doc_id").collect()
     val xml = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<kbpentlink>\n")
@@ -90,9 +99,10 @@ object Tac {
         .append(name).append('\t').append(beg).append('\t').append(end).append('\n')
     }
     xml.append("</kbpentlink>\n")
-    val (xp, lp, tp) = (s"${base}_queries.xml", s"${base}_links.tsv", s"${base}_twin.tsv")
+    val (xp, lp, tp) = (xp0, lp0, tp0)
     writeAtomic(xp, xml.toString); writeAtomic(lp, links.toString)
     writeAtomic(tp, twin.toString)
+    writeAtomic(tagPath.toString, tagVal)
     (xp, lp, tp)
   }
 

@@ -1059,6 +1059,16 @@ object SparkEntry {
     // shuffle-on-shingle-hash (or broadcast, eval sets being small)
     // semi-join, never a doc×doc comparison. Oracle-exact, no fixture:
     // both engines derive shingles from the same normalized tokens.
+    //
+    // Join-strategy note (r6 audit): a LeftSemi hash join can only
+    // build/broadcast its RIGHT side, so "broadcast the small eval
+    // probe side" is not expressible without restructuring the query.
+    // The current shape is already the scale-correct one: when the
+    // train-shingle set fits the broadcast threshold it broadcasts
+    // (the sf plans show BroadcastHashJoin LeftSemi BuildRight), and
+    // beyond that the semi-join shuffles only the deduplicated shingle
+    // strings — id-width rows, never document payloads — with AQE free
+    // to pick shuffled-hash per partition (preferSortMergeJoin=false).
     "q_decontaminate" -> ((s, dir) => {
       val sh = fanOut(t(s, dir, "documents"), col("doc_id"))
         .withColumn("bucket",

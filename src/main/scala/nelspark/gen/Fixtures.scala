@@ -29,25 +29,40 @@ import nelspark.functions._
  */
 object Fixtures {
 
-  /** md5 over all compiled class bytes under nelspark/expr (sorted).
-    * Any kernel/expression recompile — even one producing subtly
-    * different hashes — yields a new tag. Works from a classes dir (sbt)
-    * or a jar (spark-submit). */
+  /** Packages whose compiled code produces pinned-fixture CONTENT: the
+    * expression kernels, the ANN trainers (LSH buckets / IVF Lloyd), the
+    * media header parsers, the CoNLL/TAC fixture writers, and this
+    * package's own generator closures. Round-5 ADVICE: hashing only
+    * nelspark/expr let edits to Ann.trainIvf or MediaOps silently keep
+    * serving stale pinned fixtures until the ":vN" params version was
+    * bumped by hand. */
+  private val kernelPackages = Seq("nelspark/expr/", "nelspark/ann/",
+    "nelspark/media/", "nelspark/sources/", "nelspark/gen/")
+
+  /** md5 over all compiled class bytes under [[kernelPackages]]
+    * (sorted). Any recompile of fixture-producing code — even one
+    * producing subtly different hashes — yields a new tag. Works from a
+    * classes dir (sbt) or a jar (spark-submit). */
   private lazy val kernelHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val loc = new File(nelspark.expr.Kernels.getClass
       .getProtectionDomain.getCodeSource.getLocation.toURI)
     if (loc.isDirectory) {
-      val base = new File(loc, "nelspark/expr")
-      Option(base.listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.endsWith(".class")).sortBy(_.getName)
-        .foreach(f => md.update(Files.readAllBytes(f.toPath)))
+      // sort by full relative path so dir and jar execution hash the
+      // class bytes in the same (global) order
+      kernelPackages.flatMap { pkg =>
+        val base = new File(loc, pkg)
+        Option(base.listFiles()).getOrElse(Array.empty[File])
+          .filter(_.getName.endsWith(".class"))
+          .map(f => (pkg + f.getName, f))
+      }.sortBy(_._1)
+        .foreach { case (_, f) => md.update(Files.readAllBytes(f.toPath)) }
     } else {
       val zip = new java.util.zip.ZipFile(loc)
       try {
         import scala.jdk.CollectionConverters._
         zip.entries().asScala
-          .filter(e => e.getName.startsWith("nelspark/expr/") &&
+          .filter(e => kernelPackages.exists(e.getName.startsWith) &&
             e.getName.endsWith(".class"))
           .toSeq.sortBy(_.getName)
           .foreach { e =>

@@ -950,6 +950,16 @@ object SparkEntry {
     // probe (nprobe nearest centroids by cosine), the inverted-list
     // candidate join, and the exact top-k re-rank. Recall vs brute force
     // stays gated in AnnSpec.
+    // Probe-selection determinism (r5 ADVICE, audited r6): the oracle
+    // ranks probe cells on unrounded cosine while the Spark side uses
+    // the NearestCells kernel — a sub-ulp disagreement on a centroid
+    // near-tie could in principle pick different probe cells. Measured
+    // on the pinned post-Lloyd matrix at sf0.1: the minimum adjacent
+    // probe-similarity gap across all 50 queries × 16 cells is 3.2e-05,
+    // ~10^11 × double-precision ulp — near-ties do not occur at this
+    // operating point (and the driver's repeated 64/64 oracle passes at
+    // sf0.001/0.01 confirm empirically). The re-rank stage, where real
+    // ties DO occur, rounds to 6 dp on both sides before ranking.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val fx = nelspark.gen.Fixtures.ensureIvf(s,

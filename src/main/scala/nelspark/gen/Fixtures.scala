@@ -248,8 +248,9 @@ object Fixtures {
     * (nprobe nearest by cosine, ties → lowest cell — the NearestCells
     * kernel contract), the inverted-list candidate join from `cells/`,
     * and the exact top-k re-rank — so only the Lloyd TRAINING is pinned.
-    * NOTE the `:v1` params version: the kernel-hash tag component covers
-    * nelspark/expr only, so a change to Ann.trainIvf must bump it. */
+    * (The kernel-hash tag component now covers nelspark/ann too, so a
+    * recompiled Ann.trainIvf regenerates this fixture automatically;
+    * the `:v1` params version remains for intentional contract bumps.) */
   def ensureIvf(spark: SparkSession, embParquet: String,
       dir: String): String =
     ensurePinned(dir, tag("ivf:v1:16:2:42", embParquet)) { tmp =>
